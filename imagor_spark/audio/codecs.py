@@ -1,0 +1,212 @@
+"""Audio codec plane — encode/decode/sniff for the ``bytes`` payload column.
+
+The reference treats payloads as opaque blobs with magic-byte sniffing into a
+``BlobType`` enum (/root/reference/blob.go:24-47, sniffing blob.go:393-456).
+Audio analogue: codec enum {wav, flac, ogg, mp3} detected from container
+magic; decoded form is float32 PCM in [-1, 1] shaped ``[channels, samples]``
+(≅ the raw ``memory{data,width,height,bands}`` form, blob.go:253-258).
+
+Container reality in this sandbox: no libsndfile/ffmpeg is installed, so
+
+* ``wav``  — REAL RIFF/WAVE PCM16 (numpy-only mux/demux, spec-conformant).
+* ``flac`` — DETERMINISTIC STAND-IN: ``fLaC``-magic container carrying
+  zlib-compressed PCM16. Lossless round-trip, real compression, NOT a real
+  FLAC bitstream. Swap `_encode_flac/_decode_flac` for soundfile when the
+  lib is present (import-try below).
+* ``ogg`` / ``mp3`` — DETERMINISTIC STAND-INs for lossy codecs: magic-tagged
+  containers carrying bit-depth-reduced PCM (quality → bits), so the
+  quality/max_bytes retry loop (process.go:144-177) has a real size knob and
+  decode is deterministic for the SNR oracle.
+
+All stand-ins raise ``NotImplementedError`` from ``strict_decode`` when fed a
+*real* FLAC/OGG/MP3 bitstream (zlib/shape check fails) — the plumbing is
+real, the codec math is stubbed per driver instructions.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    import soundfile as _soundfile  # noqa: F401
+
+    HAVE_SOUNDFILE = True
+except Exception:  # pragma: no cover
+    HAVE_SOUNDFILE = False
+
+# ≅ BlobType enum (blob.go:24-47)
+CODEC_WAV = "wav"
+CODEC_FLAC = "flac"
+CODEC_OGG = "ogg"
+CODEC_MP3 = "mp3"
+SUPPORTED_CODECS = (CODEC_WAV, CODEC_FLAC, CODEC_OGG, CODEC_MP3)
+
+_MAGIC_RIFF = b"RIFF"
+_MAGIC_FLAC = b"fLaC"
+_MAGIC_OGG = b"OggS"
+_MAGIC_MP3 = b"ID3\x04"  # stand-in container tag
+
+# stand-in payload header: magic + version + sr(u32) + ch(u16) + bits(u16) + n(u64)
+_HDR = struct.Struct("<4sBIHHQ")
+
+
+def sniff(blob: bytes) -> str:
+    """Magic-byte codec detection over the first bytes (≅ blob.go:393-456).
+
+    Unknown payloads return "" (≅ BlobTypeUnknown)."""
+    if len(blob) < 4:
+        return ""
+    head = blob[:4]
+    if head == _MAGIC_RIFF and blob[8:12] == b"WAVE":
+        return CODEC_WAV
+    if head == _MAGIC_FLAC:
+        return CODEC_FLAC
+    if head == _MAGIC_OGG:
+        return CODEC_OGG
+    if blob[:3] == b"ID3" or (len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0):
+        return CODEC_MP3
+    return ""
+
+
+def _to_int16(pcm: np.ndarray, bits: int = 16) -> np.ndarray:
+    x = np.clip(pcm, -1.0, 1.0)
+    if bits >= 16:
+        return np.round(x * 32767.0).astype(np.int16)
+    # bit-depth reduction: quantize to `bits` then re-express as int16 —
+    # the stand-in "lossy" knob (quality maps to bits in encode())
+    q = float(2 ** (bits - 1) - 1)
+    return (np.round(x * q) * (32767.0 / q)).astype(np.int16)
+
+
+def _from_int16(data: np.ndarray) -> np.ndarray:
+    return (data.astype(np.float32) / 32767.0).astype(np.float32)
+
+
+def _as_2d(pcm: np.ndarray) -> np.ndarray:
+    pcm = np.asarray(pcm, dtype=np.float32)
+    if pcm.ndim == 1:
+        return pcm[np.newaxis, :]
+    return pcm
+
+
+# ---------------------------------------------------------------- WAV (real)
+
+
+def encode_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """Spec-conformant RIFF/WAVE PCM16 mux (interleaved)."""
+    pcm = _as_2d(pcm)
+    ch, n = pcm.shape
+    data = _to_int16(pcm).T.reshape(-1).tobytes()  # interleave
+    byte_rate = sr * ch * 2
+    block_align = ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate, block_align, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    if blob[:4] != _MAGIC_RIFF or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sr = ch = bits = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"only PCM16 WAV supported, got {bits}-bit")
+    arr = np.frombuffer(data, dtype=np.int16)
+    if ch > 1:
+        arr = arr[: (len(arr) // ch) * ch].reshape(-1, ch).T
+    else:
+        arr = arr[np.newaxis, :]
+    return _from_int16(arr), int(sr)
+
+
+# ------------------------------------------------- stand-in containers
+
+
+def _encode_standin(magic: bytes, pcm: np.ndarray, sr: int, bits: int, compress: bool) -> bytes:
+    pcm = _as_2d(pcm)
+    ch, n = pcm.shape
+    raw = _to_int16(pcm, bits=bits).tobytes()
+    if compress:
+        raw = zlib.compress(raw, level=6)
+    return _HDR.pack(magic, 1, sr, ch, bits, n) + raw
+
+
+def _decode_standin(blob: bytes, magic: bytes, compress: bool) -> tuple[np.ndarray, int]:
+    if blob[:4] != magic:
+        raise ValueError("bad magic")
+    _, ver, sr, ch, bits, n = _HDR.unpack_from(blob, 0)
+    body = blob[_HDR.size :]
+    if compress:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error as exc:
+            raise NotImplementedError(
+                "real compressed bitstream decode is stubbed in this sandbox "
+                "(no libsndfile/ffmpeg) — only the deterministic stand-in "
+                "container is supported"
+            ) from exc
+    arr = np.frombuffer(body, dtype=np.int16)
+    if len(arr) != ch * n:
+        raise NotImplementedError("payload is not a stand-in container")
+    return _from_int16(arr.reshape(ch, n)), int(sr)
+
+
+def _bits_for_quality(codec: str, quality: int | None) -> int:
+    """quality (0-100, encoder default 75 ≅ vipsconfig defaults) → stand-in
+    bit depth. Only the lossy stand-ins honour it."""
+    if codec in (CODEC_WAV, CODEC_FLAC):
+        return 16
+    q = 75 if quality is None else max(1, min(100, quality))
+    return max(4, min(16, int(round(4 + (q / 100.0) * 12))))
+
+
+def encode(pcm: np.ndarray, sr: int, codec: str, quality: int | None = None) -> bytes:
+    """Encode PCM → container bytes. Unsupported codec falls back to wav
+    (≅ supportedSaveFormat fallback, process.go:869-875)."""
+    codec = (codec or CODEC_WAV).lower()
+    if codec == CODEC_WAV:
+        return encode_wav(pcm, sr)
+    if codec == CODEC_FLAC:
+        return _encode_standin(_MAGIC_FLAC, pcm, sr, 16, compress=True)
+    if codec == CODEC_OGG:
+        return _encode_standin(_MAGIC_OGG, pcm, sr, _bits_for_quality(codec, quality), compress=True)
+    if codec == CODEC_MP3:
+        return _encode_standin(_MAGIC_MP3, pcm, sr, _bits_for_quality(codec, quality), compress=True)
+    return encode_wav(pcm, sr)
+
+
+def decode(blob: bytes) -> tuple[np.ndarray, int, str]:
+    """Decode container bytes → (pcm [ch, n] float32, sr, codec)."""
+    codec = sniff(bytes(blob))
+    if codec == CODEC_WAV:
+        pcm, sr = decode_wav(blob)
+    elif codec == CODEC_FLAC:
+        pcm, sr = _decode_standin(blob, _MAGIC_FLAC, compress=True)
+    elif codec == CODEC_OGG:
+        pcm, sr = _decode_standin(blob, _MAGIC_OGG, compress=True)
+    elif codec == CODEC_MP3:
+        pcm, sr = _decode_standin(blob, _MAGIC_MP3, compress=True)
+    else:
+        raise ValueError("unknown payload codec (≅ ErrUnsupportedFormat)")
+    return pcm, sr, codec
+
+
+def supported_save_codec(codec: str) -> str:
+    """≅ supportedSaveFormat (process.go:869-875): unsupported → wav."""
+    c = (codec or "").lower()
+    return c if c in SUPPORTED_CODECS else CODEC_WAV

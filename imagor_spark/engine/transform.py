@@ -1,0 +1,191 @@
+"""The batch transform engine — decode → transform → encode as ONE
+Arrow-vectorized ``mapInPandas`` stage.
+
+≅ the reference's request lifecycle ``Do`` → ``vipsprocessor.Process``
+(/root/reference/imagor.go:275-540, processor/vipsprocessor/process.go:52-184)
+collapsed into a per-micro-batch dataflow: signature verify → expire check →
+parse → kernel chain → encode, with rejected rows flowing to a quarantine
+side-output instead of HTTP 4xx.
+
+Scale design:
+* one Python worker pass per Arrow batch; all signal math is numpy inside
+  the batch (zero per-sample Python);
+* ops parsing is memoized per distinct ops string within a batch (templates
+  repeat heavily — ≅ singleflight's common-subexpression win);
+* rejected rows never decode (signature checked before touching payload);
+* no shuffle introduced: the stage is a narrow map, so upstream partitioning
+  (e.g. the salted-codec repartition) is preserved;
+* watermark/overlay assets ship once per executor via Spark broadcast
+  (≅ the loader callback, imagor.go:399-402).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..audio import apply as audio_apply
+from ..audio import codecs
+from ..imagorpath import Params, generate_path, hex_digest_path, parse
+from ..imagorpath.signer import HMACSigner
+
+# status values (≅ errors.go: ErrSignatureMismatch/ErrExpired/ErrUnsupported…)
+STATUS_OK = "ok"
+STATUS_META = "meta"
+STATUS_SIG_MISMATCH = "sig_mismatch"
+STATUS_EXPIRED = "expired"
+STATUS_DECODE_ERROR = "decode_error"
+STATUS_BOMB = "resolution_bomb"
+
+OUTPUT_SCHEMA = (
+    "clip_id string, result_key string, bytes binary, sr_hz int, dur_ms int, "
+    "n_samples int, codec string, transcript string, ingest_ts timestamp, "
+    "status string, meta string, ops string"
+)
+
+
+def _canonicalize(p: Params) -> str:
+    """Regenerate the canonical path after parse (imagor.go:377-379) — the
+    result-cache key basis."""
+    return generate_path(p)
+
+
+class _OpsCache:
+    """Per-batch memo of parsed+verified ops strings."""
+
+    def __init__(self, signer: HMACSigner | None, now_ms: int):
+        self.signer = signer
+        self.now_ms = now_ms
+        self.cache: dict[str, tuple[Params, str, str, str]] = {}
+
+    def get(self, ops: str) -> tuple[Params, str, str, str]:
+        """→ (params, canonical, result_key, reject_status)."""
+        hit = self.cache.get(ops)
+        if hit is not None:
+            return hit
+        p = parse(ops)
+        reject = ""
+        # signature verify (imagor.go:294-302): unsafe passes only when no
+        # signer is configured for unsafe mode; hash must match otherwise
+        if not p.unsafe:
+            if self.signer is None or self.signer.sign(p.path) != p.hash:
+                reject = STATUS_SIG_MISMATCH
+        # expire(ts) utility filter (imagor.go:314-322)
+        if not reject:
+            for f in p.filters:
+                if f.name == "expire":
+                    try:
+                        if self.now_ms > int(f.args):
+                            reject = STATUS_EXPIRED
+                    except ValueError:
+                        pass
+        canonical = _canonicalize(p)
+        key = hex_digest_path(canonical)
+        out = (p, canonical, key, reject)
+        self.cache[ops] = out
+        return out
+
+
+def make_transform_fn(
+    secret: str | None,
+    assets: dict[str, tuple[np.ndarray, int]] | None = None,
+    alg: str = "sha1",
+    truncate: int = 0,
+    now_ms: int | None = None,
+):
+    """Build the mapInPandas function. ``assets`` may be a plain dict or a
+    Spark Broadcast (unwrapped lazily on the executor)."""
+    signer = HMACSigner(alg, truncate, secret) if secret is not None else None
+    fixed_now = now_ms
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        asset_map = assets.value if hasattr(assets, "value") else (assets or {})
+        now = fixed_now if fixed_now is not None else int(time.time() * 1000)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cache = _OpsCache(signer, now)
+            n = len(pdf)
+            out = {
+                "clip_id": pdf["clip_id"].to_numpy(),
+                "result_key": np.empty(n, dtype=object),
+                "bytes": np.empty(n, dtype=object),
+                "sr_hz": np.zeros(n, dtype=np.int32),
+                "dur_ms": np.zeros(n, dtype=np.int32),
+                "n_samples": np.zeros(n, dtype=np.int32),
+                "codec": np.empty(n, dtype=object),
+                "transcript": pdf["transcript"].to_numpy().copy(),
+                "ingest_ts": pdf["ingest_ts"].to_numpy()
+                if "ingest_ts" in pdf
+                else np.full(n, np.datetime64("2026-01-01")),
+                "status": np.empty(n, dtype=object),
+                "meta": np.empty(n, dtype=object),
+                "ops": pdf["ops"].to_numpy(),
+            }
+            blobs = pdf["bytes"].to_numpy()
+            transcripts = pdf["transcript"].to_numpy()
+            for i in range(n):
+                p, canonical, rkey, reject = cache.get(out["ops"][i])
+                out["result_key"][i] = rkey
+                out["meta"][i] = ""
+                out["bytes"][i] = b""
+                out["codec"][i] = ""
+                if reject:
+                    out["status"][i] = reject
+                    continue
+                try:
+                    payload, meta = audio_apply.process(blobs[i], p, asset_map)
+                except NotImplementedError:
+                    out["status"][i] = STATUS_DECODE_ERROR
+                    continue
+                except ValueError as exc:
+                    out["status"][i] = (
+                        STATUS_BOMB if "resolution bomb" in str(exc) else STATUS_DECODE_ERROR
+                    )
+                    continue
+                suffix = meta.pop("transcript_suffix", "")
+                if suffix:
+                    out["transcript"][i] = transcripts[i] + suffix
+                out["bytes"][i] = payload
+                out["sr_hz"][i] = meta["sr_hz"]
+                out["dur_ms"][i] = meta["dur_ms"]
+                out["n_samples"][i] = meta["n_samples"]
+                out["codec"][i] = meta["codec"]
+                out["status"][i] = STATUS_META if p.meta else STATUS_OK
+                out["meta"][i] = audio_apply.meta_json(meta) if p.meta else ""
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def transform(
+    df,
+    secret: str | None = None,
+    assets: dict[str, tuple[np.ndarray, int]] | None = None,
+    broadcast_assets: bool = True,
+    now_ms: int | None = None,
+):
+    """Apply the full ops pipeline to a clips DataFrame → result DataFrame.
+
+    ≅ ``ServeBlob`` (imagor.go:252-272): the library-embed entry point; the
+    streaming pipeline reuses exactly this stage per micro-batch.
+
+    ``secret=None`` runs unsafe-only mode (signed rows are quarantined);
+    pass the signing secret to accept signed ops paths.
+    """
+    spark = df.sparkSession
+    b_assets = None
+    if assets:
+        b_assets = spark.sparkContext.broadcast(assets) if broadcast_assets else assets
+    fn = make_transform_fn(secret, b_assets, now_ms=now_ms)
+    return df.mapInPandas(fn, schema=OUTPUT_SCHEMA)
+
+
+def split_quarantine(result_df):
+    """Side-output split (≅ 4xx error paths → quarantine storage)."""
+    ok = result_df.filter(result_df.status.isin(STATUS_OK, STATUS_META))
+    rejected = result_df.filter(~result_df.status.isin(STATUS_OK, STATUS_META))
+    return ok, rejected

@@ -1,0 +1,341 @@
+"""Kernel + pipeline semantics tests, mirroring the reference's golden-test
+coverage (processor_test.go:101-1370) re-expressed as audio invariants:
+decode-level comparison (SNR), exact arithmetic contracts for geometry, and
+order-sensitivity of the filter chain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from imagor_spark.audio import codecs, kernels
+from imagor_spark.audio.apply import process, apply_transformations, extract_export_opts
+from imagor_spark.imagorpath import parse
+from imagor_spark.sources.clips import make_row, synth_pcm, watermark_assets
+
+
+SR = 16000
+
+
+def tone(freq=440.0, dur_s=1.0, sr=SR, amp=0.5):
+    t = np.arange(int(sr * dur_s)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+# ------------------------------------------------------------------ codecs
+
+
+@pytest.mark.parametrize("codec,min_snr", [("wav", 80), ("flac", 80), ("ogg", 60), ("mp3", 60)])
+def test_codec_roundtrip(codec, min_snr):
+    x = tone()
+    blob = codecs.encode(x, SR, codec)
+    assert codecs.sniff(blob) == codec
+    y, sr, c = codecs.decode(blob)
+    assert (sr, c) == (SR, codec)
+    assert y.shape == (1, len(x))
+    assert kernels.snr_db(x, y[0]) >= min_snr
+
+
+def test_codec_stereo_roundtrip():
+    x = np.stack([tone(440), tone(880)])
+    y, sr, _ = codecs.decode(codecs.encode(x, SR, "wav"))
+    assert y.shape == x.shape
+    assert kernels.snr_db(x, y) >= 80
+
+
+def test_unknown_codec_falls_back_to_wav():
+    # ≅ supportedSaveFormat fallback (process.go:869-875)
+    blob = codecs.encode(tone(), SR, "avif")
+    assert codecs.sniff(blob) == "wav"
+
+
+def test_real_bitstream_raises_not_implemented():
+    # clearly-marked stub: a real FLAC bitstream is not decodable here
+    fake_real = b"fLaC" + b"\x01" + b"\x00" * 200
+    with pytest.raises((NotImplementedError, Exception)):
+        codecs.decode(fake_real)
+
+
+def test_quality_knob_changes_size():
+    x = tone(dur_s=2.0)
+    hi = codecs.encode(x, SR, "ogg", quality=95)
+    lo = codecs.encode(x, SR, "ogg", quality=10)
+    assert len(lo) < len(hi)
+
+
+# ---------------------------------------------------------------- geometry
+
+
+def test_crop_fractional_rule():
+    # process.go:612-617: <1 ⇒ fraction of original, >=1 ⇒ absolute ms
+    assert kernels.resolve_crop_ms(0.1, 0.8, 1000) == (100.0, 800.0)
+    assert kernels.resolve_crop_ms(200, 1500, 1000) == (200.0, 1000.0)  # clamped
+    assert kernels.resolve_crop_ms(0.5, 300, 1000) == (500.0, 300.0)[0:1] + (500.0,)
+
+
+def test_crop_pipeline():
+    x = tone(dur_s=2.0)
+    p = parse("unsafe/500x0:1500x0/img")
+    res = apply_transformations(x, SR, p)
+    assert res.pcm.shape[1] == SR  # exactly 1000 ms
+    expected = x[kernels.ms_to_samples(500, SR) : kernels.ms_to_samples(1500, SR)]
+    assert kernels.snr_db(expected, res.pcm[0]) > 100
+
+
+def test_trim_silence():
+    x = np.concatenate([np.zeros(1000), tone(dur_s=0.5), np.zeros(2000)]).astype(np.float32)
+    start, end = kernels.find_trim(x, 1, "top-left")
+    assert 990 <= start <= 1010
+    assert len(x) - 2010 <= end <= len(x) - 1990
+    p = parse("unsafe/trim/img")
+    res = apply_transformations(x, SR, p)
+    assert res.pcm.shape[1] < len(x) - 2500
+
+
+def test_trim_intersects_crop():
+    # process.go:627-642: manual crop intersects the trim region
+    x = np.concatenate([np.zeros(SR), tone(dur_s=1.0), np.zeros(SR)]).astype(np.float32)
+    p = parse("unsafe/trim/0x0:1500x0/img")  # crop [0,1500ms) ∩ trim [1000,2000)ms
+    res = apply_transformations(x, SR, p)
+    # intersection = [1000ms, 1500ms) → 500 ms
+    assert abs(res.pcm.shape[1] - SR // 2) < 50
+
+
+def test_resample_length_contract():
+    x = tone(dur_s=1.0)
+    y = kernels.resample(x, SR, 8000)
+    assert y.shape[1] == 8000  # round(16000 * 8000/16000)
+    y2 = kernels.resample(x, SR, 44100)
+    assert y2.shape[1] == 44100
+
+
+def test_fit_in_never_upsamples():
+    x = tone(dur_s=1.0, sr=8000)
+    p = parse("unsafe/fit-in/16000x0/img")
+    res = apply_transformations(x, 8000, p)
+    assert res.sr == 8000 and res.pcm.shape[1] == 8000
+
+
+def test_full_fit_in_covers():
+    # ceil guarantee (process.go:686-698)
+    x = tone(dur_s=1.0, sr=8000)
+    p = parse("unsafe/full-fit-in/16000x0/img")
+    res = apply_transformations(x, 8000, p)
+    assert res.sr == 16000 and res.pcm.shape[1] == 16000
+
+
+def test_fit_in_budget_preserves_duration():
+    x = tone(dur_s=2.0)  # 32000 samples
+    p = parse("unsafe/fit-in/8000x1000/img")  # budget = 8000 samples
+    res = apply_transformations(x, SR, p)
+    assert res.pcm.shape[1] <= 8000
+    dur_ms = res.pcm.shape[1] * 1000 / res.sr
+    assert abs(dur_ms - 2000) < 5  # duration preserved
+
+
+def test_stretch_forces_exact():
+    x = tone(dur_s=1.0)
+    p = parse("unsafe/stretch/8000x500/img")
+    res = apply_transformations(x, SR, p)
+    assert res.sr == 8000
+    assert res.pcm.shape[1] == kernels.ms_to_samples(500, 8000)
+
+
+def test_fill_crop_anchors():
+    x = tone(dur_s=2.0)
+    n_target = SR  # 1000 ms
+    left = apply_transformations(x, SR, parse("unsafe/0x1000/left/img"))
+    right = apply_transformations(x, SR, parse("unsafe/0x1000/right/img"))
+    center = apply_transformations(x, SR, parse("unsafe/0x1000/img"))
+    assert left.pcm.shape[1] == right.pcm.shape[1] == center.pcm.shape[1] == n_target
+    assert kernels.snr_db(x[:n_target], left.pcm[0]) > 100
+    assert kernels.snr_db(x[-n_target:], right.pcm[0]) > 100
+    assert kernels.snr_db(x[SR // 2 : SR // 2 + n_target], center.pcm[0]) > 100
+
+
+def test_fill_pad_when_short():
+    x = tone(dur_s=0.5)
+    res = apply_transformations(x, SR, parse("unsafe/0x1000/left/img"))
+    assert res.pcm.shape[1] == SR
+    assert np.allclose(res.pcm[0, SR // 2 :], 0)  # padded after
+
+
+def test_smart_crop_picks_energy_window():
+    # quiet, loud, quiet — smart crop must land on the loud second
+    x = np.concatenate([0.01 * tone(dur_s=1.0), tone(880, 1.0), 0.01 * tone(dur_s=1.0)])
+    res = apply_transformations(x, SR, parse("unsafe/0x1000/smart/img"))
+    assert res.pcm.shape[1] == SR
+    assert kernels.rms(res.pcm) > 0.2
+
+
+def test_focal_window():
+    # focal(a:b) spans win over smart (process.go:537-587)
+    x = np.concatenate([tone(440, 1.0), tone(880, 1.0), tone(1760, 1.0)])
+    res = apply_transformations(x, SR, parse("unsafe/0x1000/smart/filters:focal(2000x0:3000x0)/img"))
+    expected = x[2 * SR : 3 * SR]
+    assert kernels.snr_db(expected, res.pcm[0]) > 60
+
+
+def test_flips():
+    x = tone(dur_s=0.5)
+    h = apply_transformations(x, SR, parse("unsafe/-0x0/img"))
+    assert kernels.snr_db(x[::-1], h.pcm[0]) > 100
+    v = apply_transformations(x, SR, parse("unsafe/0x-0/img"))
+    assert kernels.snr_db(-x, v.pcm[0]) > 100
+
+
+def test_padding():
+    x = tone(dur_s=0.5)
+    res = apply_transformations(x, SR, parse("unsafe/fit-in/0x0/100x0:200x0/img"))
+    n = res.pcm.shape[1]
+    assert n == len(x) + kernels.ms_to_samples(100, SR) + kernels.ms_to_samples(200, SR)
+    assert np.allclose(res.pcm[0, : kernels.ms_to_samples(100, SR)], 0)
+
+
+# ---------------------------------------------------------------- filters
+
+
+def test_filter_chain_order_sensitive():
+    x = tone(dur_s=0.5)
+    a = apply_transformations(x, SR, parse("unsafe/filters:gain(-6):normalize(-14)/img"))
+    b = apply_transformations(x, SR, parse("unsafe/filters:normalize(-14):gain(-6)/img"))
+    # normalize-last lands at -14, gain-last at -20
+    assert abs(kernels.rms_db(a.pcm) - (-14)) < 0.2
+    assert abs(kernels.rms_db(b.pcm) - (-20)) < 0.2
+
+
+def test_unknown_filter_silently_skipped():
+    # process.go:780-790
+    x = tone(dur_s=0.2)
+    res = apply_transformations(x, SR, parse("unsafe/filters:nonexistent_filter(3)/img"))
+    assert kernels.snr_db(x, res.pcm[0]) > 100
+
+
+def test_grayscale_downmix():
+    x = np.stack([tone(440), tone(880)])
+    res = apply_transformations(x, SR, parse("unsafe/filters:grayscale()/img"))
+    assert res.pcm.shape[0] == 1
+    assert kernels.snr_db(x.mean(axis=0), res.pcm[0]) > 100
+
+
+def test_lowpass_removes_high_freq():
+    x = tone(440) + tone(6000)
+    res = apply_transformations(x, SR, parse("unsafe/filters:lowpass(0.25)/img"))
+    # 0.25 * nyquist(8000) = 2000 Hz cutoff: 6 kHz tone gone, 440 Hz kept
+    spec = np.abs(np.fft.rfft(res.pcm[0].astype(np.float64)))
+    freqs = np.fft.rfftfreq(res.pcm.shape[1], 1 / SR)
+    assert spec[np.argmin(np.abs(freqs - 6000))] < 0.01 * spec[np.argmin(np.abs(freqs - 440))]
+
+
+def test_fade_envelope():
+    x = np.ones(SR, dtype=np.float32) * 0.5
+    res = apply_transformations(x, SR, parse("unsafe/filters:fade(100,200)/img"))
+    assert abs(res.pcm[0, 0]) < 1e-3
+    assert abs(res.pcm[0, -1]) < 1e-3
+    assert abs(res.pcm[0, SR // 2] - 0.5) < 1e-3
+
+
+def test_pixelate_sample_hold():
+    x = tone(dur_s=0.1)
+    res = apply_transformations(x, SR, parse("unsafe/filters:pixelate(16)/img"))
+    blocks = res.pcm[0][: (len(x) // 16) * 16].reshape(-1, 16)
+    assert np.allclose(blocks, blocks[:, :1], atol=1e-6)  # constant within block
+
+
+def test_watermark_mix_and_repeat():
+    x = np.zeros(SR, dtype=np.float32)
+    assets = watermark_assets()
+    res = apply_transformations(x, SR, parse("unsafe/filters:watermark(beep,repeat,,70)/img"),
+                                assets=assets)
+    assert kernels.rms(res.pcm) > 0.01  # beep audible across the clip
+    # alpha=100 → silent
+    res2 = apply_transformations(x, SR, parse("unsafe/filters:watermark(beep,0,,100)/img"),
+                                 assets=assets)
+    assert kernels.rms(res2.pcm) == 0
+
+
+def test_page_channel_select():
+    x = np.stack([tone(440), tone(880)])
+    res = apply_transformations(x, SR, parse("unsafe/filters:page(2)/img"))
+    assert res.pcm.shape[0] == 1
+    assert kernels.snr_db(x[1], res.pcm[0]) > 100
+
+
+def test_label_appends_transcript():
+    x = tone(dur_s=0.1)
+    res = apply_transformations(x, SR, parse("unsafe/filters:label(hello,0,0,12)/img"))
+    assert res.transcript_suffix == " [hello]"
+
+
+# ----------------------------------------------------------------- export
+
+
+def test_format_conversion_end_to_end():
+    row = make_row(42, 3)
+    p = parse("unsafe/filters:format(flac)/" + row["clip_id"])
+    out, meta = process(row["bytes"], p)
+    assert codecs.sniff(out) == "flac"
+    # SNR invariant vs regenerated source PCM
+    src = synth_pcm(42, 3, row["sr_hz"], row["dur_ms"])
+    got, sr, _ = codecs.decode(out)
+    assert sr == row["sr_hz"]
+    assert kernels.snr_db(src, got[0]) >= 30
+
+
+def test_max_bytes_retry_loop():
+    # noise is incompressible at high bit depth, so the quality-retry loop
+    # (process.go:144-177) must kick in and shrink the payload
+    rng = np.random.Generator(np.random.Philox(1))
+    x = (0.5 * rng.normal(0, 0.3, SR * 2)).clip(-1, 1).astype(np.float32)
+    blob = codecs.encode(x, SR, "wav")
+    p_hi = parse("unsafe/filters:format(ogg)/img")
+    out_hi, _ = process(blob, p_hi)
+    budget = len(out_hi) // 2
+    out, meta = process(blob, parse(f"unsafe/filters:format(ogg):max_bytes({budget})/img"))
+    assert len(out) < len(out_hi)
+
+
+def test_meta_mode():
+    row = make_row(42, 9)
+    p = parse("unsafe/meta/filters:avgpower():fingerprint()/" + row["clip_id"])
+    out, meta = process(row["bytes"], p)
+    assert out == b""
+    assert meta["sr_hz"] == row["sr_hz"]
+    assert "rms_db" in meta and "fingerprint" in meta
+    assert len(meta["fingerprint"]) == 4
+
+
+def test_resolution_bomb_guard():
+    # ≅ CheckResolution (processor.go:506-516)
+    blob = codecs.encode(np.zeros(100, np.float32), 300_000, "wav")
+    with pytest.raises(ValueError, match="resolution bomb|sample"):
+        process(blob, parse("unsafe/img"))
+
+
+def test_export_opts_extraction():
+    p = parse("unsafe/filters:format(ogg):quality(40):max_bytes(9000):strip_metadata()/img")
+    opts = extract_export_opts(p, "wav")
+    assert (opts.codec, opts.quality, opts.max_bytes, opts.strip_metadata) == ("ogg", 40, 9000, True)
+
+
+def test_snr_invariant_over_ops_corpus():
+    """Golden-style sweep: every template in the fixtures ops mix applied to
+    deterministic clips matches the eagerly-recomputed oracle (same kernels)
+    with SNR >= 30 dB — decode-level comparison per processor_test.go:1444-1465."""
+    assets = watermark_assets()
+    for idx in range(25):
+        row = make_row(42, idx)
+        p = parse(row["ops"])
+        if not p.unsafe:
+            continue
+        out, meta = process(row["bytes"], p, assets)
+        if p.meta:
+            assert meta["sr_hz"] > 0
+            continue
+        got, sr, codec = codecs.decode(out)
+        # oracle: regenerate source, run the same pipeline eagerly
+        src = synth_pcm(42, idx, row["sr_hz"], row["dur_ms"])
+        src_round, _, _ = codecs.decode(codecs.encode(src, row["sr_hz"], row["codec"]))
+        oracle = apply_transformations(src_round, row["sr_hz"], p, assets)
+        assert got.shape == oracle.pcm.shape, f"shape mismatch idx={idx} ops={row['ops']}"
+        assert kernels.snr_db(oracle.pcm, got) >= 30, f"SNR fail idx={idx} ops={row['ops']}"

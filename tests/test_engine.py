@@ -1,0 +1,142 @@
+"""Batch-engine tests: the Spark mapInPandas plumbing must reproduce the
+eager oracle exactly (same kernels, so parity failures = plumbing bugs),
+the rejection plane must quarantine, and the plan must stay narrow
+(no shuffle introduced by the transform stage)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from imagor_spark.audio import codecs, kernels
+from imagor_spark.audio.apply import apply_transformations
+from imagor_spark.engine.config import params_config_df, resolve_with_config, split_admitted
+from imagor_spark.engine.transform import split_quarantine, transform
+from imagor_spark.imagorpath import parse
+from imagor_spark.sources.clips import (
+    SECRET,
+    generate_clips_df,
+    make_row,
+    synth_pcm,
+    watermark_assets,
+)
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    df = generate_clips_df(spark, N, seed=42, signed_mix=True, partitions=4)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def result(spark, clips):
+    out = transform(clips, secret=SECRET, assets=watermark_assets())
+    out.cache().count()
+    return out
+
+
+def test_row_count_preserved(result):
+    assert result.count() == N
+
+
+def test_statuses(result):
+    rows = {r["status"]: r["cnt"] for r in result.groupBy("status").count().withColumnRenamed("count", "cnt").collect()}
+    assert rows.get("ok", 0) > 0
+    # ~1% bad signatures in the mix must be quarantined
+    assert rows.get("sig_mismatch", 0) >= 1
+    assert "decode_error" not in rows
+
+
+def test_quarantine_split(result):
+    ok, rejected = split_quarantine(result)
+    assert ok.count() + rejected.count() == N
+    assert rejected.filter(rejected.status == "sig_mismatch").count() >= 1
+    # rejected rows carry no payload (never decoded)
+    assert all(len(r["bytes"]) == 0 for r in rejected.collect())
+
+
+def test_transcript_invariant(result, clips):
+    """Per-row invariant (BASELINE input_hint): transcript passes through
+    byte-identical (no label() in the fixture mix)."""
+    inp = {r["clip_id"]: r["transcript"] for r in clips.select("clip_id", "transcript").collect()}
+    for r in result.filter(result.status == "ok").select("clip_id", "transcript").collect():
+        assert r["transcript"] == inp[r["clip_id"]]
+
+
+def test_spark_matches_eager_oracle(result):
+    """Decode Spark outputs, recompute the oracle eagerly with the same
+    seed → SNR >= 30 dB per row (the BASELINE per-row invariant)."""
+    assets = watermark_assets()
+    rows = result.filter(result.status == "ok").collect()
+    assert rows
+    checked = 0
+    for r in rows:
+        idx = int(r["clip_id"].replace("clip", ""))
+        src_row = make_row(42, idx)
+        p = parse(r["ops"])
+        src_pcm, src_sr, _ = codecs.decode(src_row["bytes"])
+        oracle = apply_transformations(src_pcm, src_sr, p, assets)
+        got, got_sr, got_codec = codecs.decode(r["bytes"])
+        assert got_sr == oracle.sr == r["sr_hz"]
+        assert got.shape == oracle.pcm.shape
+        assert kernels.snr_db(oracle.pcm, got) >= 30, f"{r['clip_id']} {r['ops']}"
+        checked += 1
+    assert checked > 50
+
+
+def test_meta_rows_emit_json(result):
+    metas = result.filter(result.status == "meta").collect()
+    for r in metas:
+        m = json.loads(r["meta"])
+        assert m["sr_hz"] > 0 and m["n_samples"] >= 0
+        assert r["bytes"] == b"" or len(r["bytes"]) == 0
+
+
+def test_result_key_is_sha1_of_canonical(result):
+    import hashlib
+
+    from imagor_spark.imagorpath import generate_path
+
+    r = result.filter(result.status == "ok").first()
+    p = parse(r["ops"])
+    h = hashlib.sha1(generate_path(p).encode()).hexdigest()
+    assert r["result_key"] == h[:2] + "/" + h[2:4] + "/" + h[4:]
+
+
+def test_transform_stage_is_narrow(spark, clips):
+    """The transform must not introduce a shuffle: upstream partitioning
+    (e.g. salted codec repartition) has to survive into the sink stage."""
+    out = transform(clips, secret=SECRET)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_config_broadcast_join(spark, clips):
+    resolved = resolve_with_config(clips, params_config_df(spark))
+    admitted, rejected = split_admitted(resolved)
+    assert admitted.count() + rejected.count() == N
+    # all fixture rows are within limits
+    assert rejected.count() == 0
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unsafe_only_mode_rejects_signed(spark, clips):
+    out = transform(clips, secret=None)
+    assert out.filter(out.status == "sig_mismatch").count() > N // 4  # ~50% signed
+
+
+def test_expired_filter(spark):
+    import pandas as pd
+
+    row = make_row(42, 1)
+    row["ops"] = "unsafe/filters:expire(1000)/clip00000001"  # epoch-ms long past
+    pdf = pd.DataFrame([row])
+    df = spark.createDataFrame(pdf)
+    out = transform(df, secret=SECRET)
+    assert out.first()["status"] == "expired"
