@@ -166,6 +166,12 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extra_queries():
+    from imagor_spark.plans.catalog import EXTRA_QUERIES
+
+    return EXTRA_QUERIES
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_pipeline_shapes": q_audio_pipeline_shapes,
     "audio_status_by_codec": q_audio_status_by_codec,
@@ -184,7 +190,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    out = dict(QUERIES)
+    out.update(_extra_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -238,4 +246,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # audio_status_by_codec: intentionally no oracle — the status/codec mix
     # depends on decode execution, covered by audio_pipeline_shapes + pytest.
+    from imagor_spark.plans.catalog import extra_oracles
+
+    oracles.update(extra_oracles())
     return oracles

@@ -40,11 +40,33 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # ~1k rows × ~60-120 KB payload ≈ 64-128 MB Arrow batches: big enough
+        # to amortize the Python-worker round trip, small enough to stay out
+        # of GC trouble (measured: 256-row batches were 5-20× slower and
+        # GC-thrashy with binary payload columns)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # parquet vectorized reader reserves batchSize × row-width PER TASK:
+        # at the default 4096 rows × ~120 KB binary payload × 32 tasks that
+        # is > 16 GB and OOMs — 512 rows keeps each task's column vector
+        # ≈ 64 MB (measured failure at sf0.1; the same math governs
+        # executor sizing on a real cluster)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # binary payload columns churn the heap; 12g is ample for local
+        # benches. NOTE (gVisor sandbox): first-touch page faults make the
+        # first pass over fresh heap/direct-buffer pages 10-50× slower —
+        # throughput measurements need a warmup pass (bench.py does one),
+        # mirroring the reference's 10 s-warmup methodology
+        # (docs/docs/benchmarks.mdx:191-200)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(12, cpus + 16)}g"),
+        )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -Dio.netty.tryReflectionSetAccessible=true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

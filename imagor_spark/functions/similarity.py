@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k using built-in higher-order array
+functions (``aggregate``/``zip_with`` — JVM-side, no Python). Scale path:
+LSH-bucketed search (random-hyperplane signs via deterministic md5-derived
+projections) that prunes candidates to same-bucket rows before exact
+scoring, and an IVF-style variant that routes queries to the nearest
+coarse centroids.
+
+At 100 TB / billions of vectors: the brute force is one broadcast of the
+query + a full scan (embarrassingly parallel, no shuffle except top-k);
+the LSH variant turns it into a bucket equi-join; IVF prunes to
+``nprobe/nlist`` of the data. All three keep vectors in Arrow/Tungsten
+arrays — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The query ships
+    as a column literal (broadcast by value); the scan is narrow; only the
+    top-k ordering is a (tiny) global sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def pairwise_topk_per_vector(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 5000,
+) -> DataFrame:
+    """All-pairs cosine → top-k neighbors per vector. O(n²) scoring via
+    self-join — correctness baseline for small n; the LSH variant below is
+    the scale path. Guarded by max_rows to prevent accidental 100 TB cross
+    joins."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"pairwise_topk is O(n²); {n} rows > {max_rows} guard")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from md5 — no RNG
+    state, reproducible in any engine."""
+    import hashlib
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp:{seed}:{i}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+    return vals
+
+
+def lsh_bucket(
+    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of n_planes dot
+    products. Same-bucket vectors are near-duplicate candidates."""
+    bits = []
+    for s in range(n_planes):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, s)])
+        bits.append(F.when(dot(F.col(vec_col), hp) >= 0, "1").otherwise("0"))
+    return df.withColumn("lsh_bucket", F.concat(*bits))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: score only rows in the query's LSH bucket (plus exact rerank).
+    Recall < 1 by construction; bucket size ≈ n/2^planes."""
+    dim = len(query_vec)
+    bucketed = lsh_bucket(df, dim, n_planes, vec_col)
+    qbits = ""
+    for s in range(n_planes):
+        hp = _hyperplane(dim, s)
+        qbits += "1" if sum(a * b for a, b in zip(query_vec, hp)) >= 0 else "0"
+    cand = bucketed.filter(F.col("lsh_bucket") == qbits)
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmin L2). Centroids are a literal array-of-arrays (broadcast by
+    value); at scale they come from a sampled k-means. Partitioning the
+    table by ``ivf_cell`` co-locates cells for query-time pruning."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return df.withColumn(
+        "ivf_cell", F.array_position(dists, F.array_min(dists)) - 1
+    )

@@ -1,0 +1,500 @@
+"""Extended query catalog: training-pipeline operators (text, dedup,
+similarity, multimodal) + streaming-window parity queries, each with a
+DuckDB oracle where ANSI-SQL can express the semantics.
+
+Regex-dialect notes (cost a verification round to learn):
+  * DuckDB ``regexp_replace`` is first-match unless the 'g' flag is given;
+    Spark's replaces all — every oracle uses 'g'.
+  * Spark ``size(split(s, p))`` counts trailing empties differently from
+    DuckDB ``len(regexp_split_to_array)`` only for trailing separators —
+    inputs here are trimmed first.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# ------------------------------------------------------------------- text
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_classes, doc_fingerprint, quality_score, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", token_count(), *char_classes(), quality_score(), doc_fingerprint()
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT
+  doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+  length(text) AS n_chars,
+  length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+  length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces,
+  round(
+    (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) > 0 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN length(text) * 1.0 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+            BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END), 1) AS quality,
+  md5(substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 64)) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", lang_id())
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def _lang_hits_sql(lang: str, words: list[str]) -> str:
+    terms = " + ".join(
+        f"(len(regexp_split_to_array(lower(text), '\\b{w}\\b')) - 1)" for w in words
+    )
+    return f"({terms})"
+
+
+def oracle_lang_id() -> str:
+    from ..functions.text import STOPWORDS
+
+    hits = {lang: _lang_hits_sql(lang, ws) for lang, ws in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    # mirror the Spark chained-when tie-break: first language in dict order
+    # with hits == best wins
+    case = "CASE "
+    for lang in STOPWORDS:
+        case += f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {best} AS best, text FROM documents)
+    SELECT {case} AS lang_pred, COUNT(*) AS n_docs
+    FROM scored GROUP BY 1 ORDER BY 1
+    """
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import minhash_signatures, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs, "text", k=3)
+    return minhash_signatures(sh, n_hashes=8)
+
+
+ORACLE_MINHASH = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i)
+  WHERE length(array_to_string(toks[i : i + 2], ' ')) > 0
+)
+SELECT doc_id,
+       min(md5(shingle || '#0')) AS h0, min(md5(shingle || '#1')) AS h1,
+       min(md5(shingle || '#2')) AS h2, min(md5(shingle || '#3')) AS h3,
+       min(md5(shingle || '#4')) AS h4, min(md5(shingle || '#5')) AS h5,
+       min(md5(shingle || '#6')) AS h6, min(md5(shingle || '#7')) AS h7
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(shingles(docs, "text", k=3), n_hashes=8)
+    return lsh_candidate_pairs(sig, n_hashes=8, bands=4).orderBy("doc_a", "doc_b")
+
+
+ORACLE_LSH = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i)
+  WHERE length(array_to_string(toks[i : i + 2], ' ')) > 0
+), sig AS (
+  SELECT doc_id,
+         min(md5(shingle || '#0')) AS h0, min(md5(shingle || '#1')) AS h1,
+         min(md5(shingle || '#2')) AS h2, min(md5(shingle || '#3')) AS h3,
+         min(md5(shingle || '#4')) AS h4, min(md5(shingle || '#5')) AS h5,
+         min(md5(shingle || '#6')) AS h6, min(md5(shingle || '#7')) AS h7
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup bucketing demonstrator: group docs by a 2-hex-char
+    fingerprint bucket (the testdata has no true duplicates)."""
+    from ..functions.text import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.substring(doc_fingerprint(), 1, 2).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_FP_BUCKETS = r"""
+SELECT substring(md5(substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 64)), 1, 2) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs, "text", bits=32)
+
+
+ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(
+    regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')
+  ) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, tok, md5(tok) AS h FROM toks WHERE length(tok) > 0
+), bits AS (
+  SELECT doc_id, b.bit,
+    ((strpos('0123456789abcdef', substring(h, 8 - (b.bit // 4), 1)) - 1) >> (b.bit % 4)) & 1 AS bitval
+  FROM hashed, LATERAL (SELECT unnest(generate_series(0, 31)) AS bit) b
+), votes AS (
+  SELECT doc_id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------------------- similarity
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0's embedding; returns ids+rank
+    (scores dropped: float op order differs across engines)."""
+    from ..functions.similarity import brute_force_topk
+
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = brute_force_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("rank"),
+    )
+
+
+ORACLE_SIM_TOPK = """
+SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cos
+  FROM embeddings WHERE vec_id != 0
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment with the first 4 embeddings as centroids;
+    per-cell population counts."""
+    from ..functions.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    return (
+        ivf_assign(emb, cents)
+        .groupBy("ivf_cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("ivf_cell")
+    )
+
+
+ORACLE_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4
+), dists AS (
+  SELECT e.vec_id, c.cid,
+         list_distance(e.embedding, c.cvec) AS d
+  FROM embeddings e CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+  FROM dists
+)
+SELECT cid AS ivf_cell, COUNT(*) AS n_vectors FROM best WHERE rk = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------- streaming parity
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming query (availableNow) over the docs-derived clip
+    stream: transform → tumbling 10-min windows × out-codec, complete
+    mode → memory sink. The DuckDB oracle predicts the same rollup by
+    arithmetic — a hash-checked STREAMING correctness gate."""
+    from ..sources.docs_clips import clips_from_documents
+    from ..engine.transform import make_transform_fn, OUTPUT_SCHEMA
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cache_dir = os.path.join(tempfile.gettempdir(), f"imagor_stream_{tag}")
+    marker = os.path.join(cache_dir, "_done")
+    if not os.path.exists(marker):
+        clips_from_documents(spark, sf_dir).write.mode("overwrite").parquet(cache_dir + "/in")
+        open(marker, "w").close()
+    from ..sources.docs_clips import CLIPS_SCHEMA
+
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(cache_dir + "/in")
+    fn = make_transform_fn("1234")
+    res = stream.mapInPandas(fn, schema=OUTPUT_SCHEMA).withWatermark("ingest_ts", "5 minutes")
+    agg = (
+        res.filter(F.col("status") == "ok")
+        .groupBy(
+            F.window("ingest_ts", "10 minutes").getField("start").alias("window_start"),
+            F.col("codec").alias("out_codec"),
+        )
+        .agg(F.count("*").alias("n_clips"), F.sum("n_samples").alias("total_samples"))
+    )
+    qname = f"tumbling_parity_{tag}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_parity_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}").orderBy("window_start", "out_codec")
+
+
+ORACLE_STREAM_TUMBLING = """
+WITH base AS (
+  SELECT doc_id,
+    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                    WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+    200 + (doc_id * 37) % 2801 AS dur_ms,
+    CASE WHEN doc_id % 20 < 14 THEN 'wav'
+         WHEN doc_id % 20 < 19 THEN 'flac' ELSE 'ogg' END AS codec,
+    doc_id % 8 AS tmpl,
+    TIMESTAMP '2026-01-01 00:00:00' + (doc_id % 3600) * INTERVAL 1 SECOND AS ingest_ts
+  FROM documents
+), shaped AS (
+  SELECT *,
+    CAST(FLOOR(CAST(dur_ms * sr AS DOUBLE) / 1e3 + 5e-1) AS BIGINT) AS n0
+  FROM base
+), withn AS (
+  SELECT *, CAST(n0 * 1000 AS DOUBLE) / sr AS dur0_ms FROM shaped
+)
+SELECT time_bucket(INTERVAL '10 minutes', ingest_ts) AS window_start,
+       CASE tmpl WHEN 6 THEN 'flac' ELSE codec END AS out_codec,
+       COUNT(*) AS n_clips,
+       CAST(SUM(CASE tmpl
+         WHEN 1 THEN CASE WHEN sr > 16000
+                          THEN CAST(FLOOR(CAST(n0 * 16000 AS DOUBLE) / sr + 5e-1) AS BIGINT)
+                          ELSE n0 END
+         WHEN 2 THEN LEAST(n0, 3 * sr // 2) - sr // 10
+         WHEN 3 THEN CAST(FLOOR(8e-1 * dur0_ms * sr / 1e3 + 5e-1) AS BIGINT)
+                   - CAST(FLOOR(1e-1 * dur0_ms * sr / 1e3 + 5e-1) AS BIGINT)
+         WHEN 4 THEN 4000
+         ELSE n0 END) AS BIGINT) AS total_samples
+FROM withn
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization over events per user (lag+cumsum; gap 60 s)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # double epoch (fractional seconds) — truncating to long would disagree
+    # with DuckDB's epoch() on sub-second timestamps; TIMESTAMP_NTZ needs an
+    # intermediate cast to TIMESTAMP first (session tz is pinned UTC)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = F.when(ep - F.lag(ep).over(w) > 60, 1).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id").withColumn(
+        "session_id", F.sum(gap).over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("n_events")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 60
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), grp AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT n_events, COUNT(*) AS n_sessions FROM grp GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demonstrator: fake image containers derived
+    from doc_ids → decode (stub) → features. Rows-only (RNG not in SQL)."""
+    from ..functions.multimodal import encode_fake_image, image_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 32 + d % 64, 32 + (d * 7) % 64
+                rows.append(
+                    {
+                        "media_id": f"img{d}",
+                        "bytes": encode_fake_image(f"img{d}", w, h),
+                        "width": w,
+                        "height": h,
+                        "fmt": "fimg",
+                        "meta": "",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    from ..functions.multimodal import IMAGE_SCHEMA
+
+    imgs = docs.mapInPandas(gen, schema=IMAGE_SCHEMA)
+    return image_features(imgs).select("media_id", "width", "height", "n_pixels")
+
+
+ORACLE_IMAGE_DIMS = """
+SELECT 'img' || CAST(doc_id AS VARCHAR) AS media_id,
+       32 + doc_id % 64 AS width,
+       32 + (doc_id * 7) % 64 AS height,
+       CAST((32 + doc_id % 64) * (32 + (doc_id * 7) % 64) AS BIGINT) AS n_pixels
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ joins
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10 (shuffle-join demo)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+EXTRA_QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "dedup_fp_buckets": q_dedup_fingerprint_buckets,
+    "simhash": q_simhash,
+    "similarity_topk": q_similarity_topk,
+    "ivf_cells": q_ivf_cells,
+    "streaming_tumbling_parity": q_streaming_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "image_features": q_image_features,
+    "q3_shipping_priority": q3_shipping_priority,
+}
+
+
+def extra_oracles() -> dict[str, str]:
+    return {
+        "text_stats": ORACLE_TEXT_STATS,
+        "lang_id": oracle_lang_id(),
+        "minhash_signatures": ORACLE_MINHASH,
+        "lsh_candidates": ORACLE_LSH,
+        "dedup_fp_buckets": ORACLE_FP_BUCKETS,
+        "simhash": ORACLE_SIMHASH,
+        "similarity_topk": ORACLE_SIM_TOPK,
+        "ivf_cells": ORACLE_IVF,
+        "streaming_tumbling_parity": ORACLE_STREAM_TUMBLING,
+        "events_sessionize": ORACLE_SESSIONIZE,
+        "image_features": ORACLE_IMAGE_DIMS,
+        "q3_shipping_priority": ORACLE_Q3,
+    }
