@@ -368,6 +368,66 @@ def _flt_fingerprint(pcm, sr, args, assets, meta, res):
     return pcm, sr
 
 
+def _flt_hue(pcm, sr, args, assets, meta, res):
+    """hue(deg) → uniform spectral phase rotation (filter.go:174-180)."""
+    return kernels.phase_shift(pcm, _f(args)), sr
+
+
+def _flt_saturation(pcm, sr, args, assets, meta, res):
+    """saturation(s) → stereo width multiplier (filter.go:182-189)."""
+    return kernels.stereo_width(pcm, _f(args, 1.0)), sr
+
+
+def _flt_to_colorspace(pcm, sr, args, assets, meta, res):
+    """to_colorspace(fmt) → sample-format convert (filter.go:301-316):
+    'int16'/'pcm16' quantizes through a 16-bit grid; 'int8' through 8."""
+    fmt = (args or "int16").lower()
+    bits = 8 if "8" in fmt else 16
+    return kernels.quantize_bits(pcm, bits), sr
+
+
+def _flt_bitdepth(pcm, sr, args, assets, meta, res):
+    """bitdepth(n) → encoder bit-depth quantization (process.go:187-258)."""
+    return kernels.quantize_bits(pcm, _i(args, 16)), sr
+
+
+def _flt_crop(pcm, sr, args, assets, meta, res):
+    """crop(left,top,width,height) — POST-resize crop (filter.go:340-382):
+    left = start (ms, or fraction <1 of current duration), width = length
+    (ms or fraction). top/height are the degenerate Y axis (ignored)."""
+    parts = split_args(args)
+    if len(parts) < 3:
+        return pcm, sr
+    dur_ms = pcm.shape[1] * 1000.0 / sr if sr else 0.0
+    left = _f(parts[0])
+    width = _f(parts[2])
+    t0 = left * dur_ms if 0 < left < 1 else left
+    w = width * dur_ms if 0 < width < 1 else width
+    start = kernels.ms_to_samples(max(t0, 0.0), sr)
+    end = kernels.ms_to_samples(max(t0, 0.0) + max(w, 0.0), sr)
+    return kernels.crop_samples(pcm, start, end), sr
+
+
+def _flt_redact(pcm, sr, args, assets, meta, res):
+    """redact([mode[,strength]]) → overwrite detector spans
+    (filterdetection.go:226-285). mode ∈ {mute, bleep, blur}; strength =
+    detector RMS threshold × 100 (default 10 → 0.1)."""
+    parts = split_args(args)
+    mode = parts[0] if parts and parts[0] else "mute"
+    strength = _f(parts[1], 10.0) / 100.0 if len(parts) > 1 else 0.1
+    spans = kernels.detect_energy_spans(pcm, sr, threshold=strength)
+    return kernels.redact_spans(pcm, sr, spans, mode), sr
+
+
+def _flt_draw_detections(pcm, sr, args, assets, meta, res):
+    """draw_detections() → annotate detected spans into meta
+    (filterdetection.go:46-90): spans land in the meta JSON, waveform
+    untouched."""
+    spans = kernels.detect_energy_spans(pcm, sr)
+    meta["detections"] = [[round(s, 4), round(e, 4)] for s, e in spans]
+    return pcm, sr
+
+
 def _noop(pcm, sr, args, assets, meta, res):
     return pcm, sr
 
@@ -381,6 +441,14 @@ FILTER_MAP = {
     "grayscale": _flt_grayscale,
     "rgb": _flt_rgb,
     "modulate": _flt_gain,  # brightness component of modulate ≅ gain
+    "hue": _flt_hue,
+    "saturation": _flt_saturation,
+    "to_colorspace": _flt_to_colorspace,
+    "bitdepth": _flt_bitdepth,
+    "crop": _flt_crop,
+    "redact": _flt_redact,
+    "redact_oval": _flt_redact,  # oval mask degenerate for 1-D audio
+    "draw_detections": _flt_draw_detections,
     "blur": _flt_blur,
     "lowpass": _flt_lowpass,
     "sharpen": _flt_sharpen,

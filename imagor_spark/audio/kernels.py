@@ -300,6 +300,96 @@ def fade(pcm: np.ndarray, in_ms: float, out_ms: float, sr: int) -> np.ndarray:
     return pcm
 
 
+def phase_shift(pcm: np.ndarray, degrees: float) -> np.ndarray:
+    """Uniform spectral phase rotation (≅ hue rotation, filter.go:174-180):
+    multiply every rFFT bin by e^{iθ}. DC/Nyquist stay real."""
+    pcm = _as_2d(pcm)
+    n = pcm.shape[1]
+    if n == 0:
+        return pcm
+    spec = np.fft.rfft(pcm, axis=1)
+    rot = np.exp(1j * np.deg2rad(degrees))
+    spec[:, 1:-1] *= rot
+    return np.fft.irfft(spec, n=n, axis=1).astype(np.float32)
+
+
+def stereo_width(pcm: np.ndarray, mult: float) -> np.ndarray:
+    """Mid/side width scaling (≅ saturation multiplier, filter.go:182-189):
+    side *= mult. Mono passes through unchanged."""
+    pcm = _as_2d(pcm)
+    if pcm.shape[0] < 2:
+        return pcm
+    mid = (pcm[0] + pcm[1]) / 2.0
+    side = (pcm[0] - pcm[1]) / 2.0 * mult
+    out = pcm.copy()
+    out[0] = np.clip(mid + side, -1.0, 1.0)
+    out[1] = np.clip(mid - side, -1.0, 1.0)
+    return out.astype(np.float32)
+
+
+def quantize_bits(pcm: np.ndarray, bits: int) -> np.ndarray:
+    """Sample-format conversion (≅ to_colorspace/bitdepth, filter.go:301-316,
+    export bitdepth): quantize to `bits`-bit grid and back to float32."""
+    bits = max(2, min(int(bits), 24))
+    q = float(2 ** (bits - 1) - 1)
+    return (np.round(np.clip(_as_2d(pcm), -1, 1) * q) / q).astype(np.float32)
+
+
+def detect_energy_spans(
+    pcm: np.ndarray, sr: int, threshold: float = 0.1, win_ms: float = 50.0
+) -> list[tuple[float, float]]:
+    """Region-of-interest detector (≅ Detector interface, detector.go:26-30):
+    contiguous windows whose RMS exceeds ``threshold``, returned as
+    normalized [0,1] spans of the clip timeline (the reference's detectors
+    also return normalized coords, detector.go:7-11)."""
+    pcm = _as_2d(pcm)
+    n = pcm.shape[1]
+    if n == 0:
+        return []
+    win = max(ms_to_samples(win_ms, sr), 1)
+    n_win = int(np.ceil(n / win))
+    padded = np.zeros(n_win * win, dtype=np.float64)
+    padded[:n] = (pcm.astype(np.float64) ** 2).mean(axis=0)
+    w_rms = np.sqrt(padded.reshape(n_win, win).mean(axis=1))
+    active = w_rms > threshold
+    spans: list[tuple[float, float]] = []
+    start = None
+    for i, a in enumerate(active):
+        if a and start is None:
+            start = i
+        elif not a and start is not None:
+            spans.append((start * win / n, min(i * win / n, 1.0)))
+            start = None
+    if start is not None:
+        spans.append((start * win / n, 1.0))
+    return spans
+
+
+def redact_spans(
+    pcm: np.ndarray,
+    sr: int,
+    spans: list[tuple[float, float]],
+    mode: str = "mute",
+) -> np.ndarray:
+    """Overwrite detected spans (≅ redact filter, filterdetection.go:226-285):
+    'mute' → silence, 'bleep' → 1 kHz tone, 'blur' → heavy low-pass of the
+    span (the pixelate/blur redact modes' audio analogues)."""
+    pcm = _as_2d(pcm).copy()
+    n = pcm.shape[1]
+    for s, e in spans:
+        a, b = int(round(s * n)), int(round(e * n))
+        if b <= a:
+            continue
+        if mode == "bleep":
+            t = np.arange(b - a) / sr
+            pcm[:, a:b] = 0.3 * np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+        elif mode == "blur":
+            pcm[:, a:b] = gaussian_lowpass(pcm[:, a:b], 5.0, sr)
+        else:  # mute
+            pcm[:, a:b] = 0.0
+    return pcm
+
+
 def rms(pcm: np.ndarray) -> float:
     """Mean power (≅ avgcolor Stats mean, filter.go:391-441)."""
     pcm = _as_2d(pcm)

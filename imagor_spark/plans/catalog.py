@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -397,8 +398,6 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def gen(batches):
-        import pandas as pd
-
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
@@ -428,6 +427,188 @@ SELECT 'img' || CAST(doc_id AS VARCHAR) AS media_id,
        32 + (doc_id * 7) % 64 AS height,
        CAST((32 + doc_id % 64) * (32 + (doc_id * 7) % 64) AS BIGINT) AS n_pixels
 FROM documents
+"""
+
+
+# -------------------------------------------------------- request plane
+
+
+def q_params_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``params/`` debug endpoint analogue (imagor.go:204-209): parse a
+    constructed ops path, return the parsed fields — oracle reconstructs
+    them arithmetically, pinning the parser at data scale."""
+    from ..imagorpath import parse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ops = docs.withColumn(
+        "ops_path",
+        F.concat(
+            F.lit("meta/trim/100x0:"),
+            (200 + F.col("doc_id") % 500).cast("string"),
+            F.lit("x0/fit-in/-"),
+            (8000 + F.col("doc_id") % 8).cast("string"),
+            F.lit("x0/left/smart/filters:gain(5):fade("),
+            (F.col("doc_id") % 90).cast("string"),
+            F.lit(")/clip"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+    @F.pandas_udf(
+        "meta boolean, trim boolean, crop_left double, crop_right double, "
+        "fit_in boolean, h_flip boolean, width int, h_align string, "
+        "smart boolean, n_filters int, image string"
+    )
+    def parse_fields(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in s:
+            p = parse(x)
+            rows.append(
+                {
+                    "meta": p.meta,
+                    "trim": p.trim,
+                    "crop_left": p.crop_left,
+                    "crop_right": p.crop_right,
+                    "fit_in": p.fit_in,
+                    "h_flip": p.h_flip,
+                    "width": p.width,
+                    "h_align": p.h_align,
+                    "smart": p.smart,
+                    "n_filters": len(p.filters),
+                    "image": p.image,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ops.select("doc_id", parse_fields("ops_path").alias("p")).select(
+        "doc_id", "p.*"
+    )
+
+
+ORACLE_PARAMS_DEBUG = """
+SELECT doc_id,
+       TRUE AS meta, TRUE AS trim,
+       100.0 AS crop_left,
+       CAST(200 + doc_id % 500 AS DOUBLE) AS crop_right,
+       TRUE AS fit_in, TRUE AS h_flip,
+       CAST(8000 + doc_id % 8 AS INT) AS width,
+       'left' AS h_align, TRUE AS smart,
+       2 AS n_filters,
+       'clip' || CAST(doc_id AS VARCHAR) AS image
+FROM documents
+"""
+
+
+def q_cache_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HasCacheBypass predicate over the docs-derived ops mix
+    (params.go:87-106): crop templates bypass the decoded-source cache."""
+    from ..imagorpath import has_cache_bypass, parse
+    from ..sources.docs_clips import fields_for
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    @F.pandas_udf("boolean")
+    def bypass(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda d: has_cache_bypass(parse(fields_for(int(d))[3])))
+
+    return (
+        docs.select((F.col("doc_id") % 8).alias("tmpl"), bypass("doc_id").alias("bypass"))
+        .groupBy("tmpl", "bypass")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tmpl", "bypass")
+    )
+
+
+ORACLE_CACHE_BYPASS = """
+SELECT doc_id % 8 AS tmpl,
+       (doc_id % 8) IN (2, 3) AS bypass,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_auto_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content negotiation rewrite (imagor.go:340-376): per-consumer accept
+    header → negotiated codec column + ops rewrite; counts by outcome."""
+    from ..engine.negotiate import apply_auto_format
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    reqs = docs.select(
+        "doc_id",
+        F.concat(F.lit("unsafe/fit-in/16000x0/clip"), F.col("doc_id").cast("string")).alias("ops"),
+        F.when(F.col("doc_id") % 4 == 0, "audio/flac,audio/wav")
+        .when(F.col("doc_id") % 4 == 1, "audio/ogg")
+        .when(F.col("doc_id") % 4 == 2, "audio/*")
+        .otherwise("text/html")
+        .alias("accept"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("channels"),
+    )
+    out = apply_auto_format(reqs, "accept", "channels")
+    return (
+        out.groupBy("negotiated", F.col("ops").rlike("format\\(").alias("rewritten"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("negotiated", "rewritten")
+    )
+
+
+ORACLE_AUTO_FORMAT = """
+WITH neg AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 4 = 2 THEN 'flac'             -- audio/* → best
+      WHEN doc_id % 4 = 0 THEN 'flac'             -- explicit flac
+      WHEN doc_id % 4 = 1 THEN                    -- ogg, but mono-only:
+        CASE WHEN (doc_id % 3 + 1) > 1 THEN 'wav' ELSE 'ogg' END
+      ELSE 'wav'
+    END AS negotiated
+  FROM documents
+)
+SELECT negotiated, negotiated != 'wav' AS rewritten, COUNT(*) AS n
+FROM neg GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_audio_redact_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector + redact plane end-to-end: clips with known loud spans →
+    redact(mute) → output RMS must drop; returns per-clip span counts and
+    whether redaction silenced them (rows-only: detector spans depend on
+    waveform content)."""
+    from ..audio import codecs, kernels
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sr = 8000
+                quiet = np.zeros(sr // 2, dtype=np.float32)
+                loud = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+                pcm = np.concatenate([quiet, loud, quiet])
+                spans = kernels.detect_energy_spans(pcm, sr, threshold=0.1)
+                red = kernels.redact_spans(pcm, sr, spans, "mute")
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_spans": len(spans),
+                        "silenced": bool(kernels.rms(red) < 0.01),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema="doc_id long, n_spans int, silenced boolean")
+
+
+ORACLE_REDACT = """
+SELECT doc_id, 1 AS n_spans, TRUE AS silenced
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
@@ -480,6 +661,10 @@ EXTRA_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "image_features": q_image_features,
     "q3_shipping_priority": q3_shipping_priority,
+    "params_debug": q_params_debug,
+    "cache_bypass": q_cache_bypass,
+    "auto_format": q_auto_format,
+    "audio_redact_detect": q_audio_redact_detect,
 }
 
 
@@ -497,4 +682,8 @@ def extra_oracles() -> dict[str, str]:
         "events_sessionize": ORACLE_SESSIONIZE,
         "image_features": ORACLE_IMAGE_DIMS,
         "q3_shipping_priority": ORACLE_Q3,
+        "params_debug": ORACLE_PARAMS_DEBUG,
+        "cache_bypass": ORACLE_CACHE_BYPASS,
+        "auto_format": ORACLE_AUTO_FORMAT,
+        "audio_redact_detect": ORACLE_REDACT,
     }

@@ -339,3 +339,72 @@ def test_snr_invariant_over_ops_corpus():
         oracle = apply_transformations(src_round, row["sr_hz"], p, assets)
         assert got.shape == oracle.pcm.shape, f"shape mismatch idx={idx} ops={row['ops']}"
         assert kernels.snr_db(oracle.pcm, got) >= 30, f"SNR fail idx={idx} ops={row['ops']}"
+
+
+# --------------------------------------------- new filter coverage (round 1b)
+
+
+def test_hue_phase_shift_preserves_energy():
+    x = tone(dur_s=0.25)
+    res = apply_transformations(x, SR, parse("unsafe/filters:hue(90)/img"))
+    assert res.pcm.shape == (1, len(x))
+    assert abs(kernels.rms(res.pcm) - kernels.rms(x)) < 0.01  # all-pass
+    assert kernels.snr_db(x, res.pcm[0]) < 20  # but waveform changed
+
+
+def test_saturation_stereo_width():
+    x = np.stack([tone(440, 0.2), 0.5 * tone(440, 0.2)])
+    wide = apply_transformations(x, SR, parse("unsafe/filters:saturation(2)/img"))
+    mono_in = apply_transformations(tone(440, 0.2), SR, parse("unsafe/filters:saturation(2)/img"))
+    side_in = np.abs(x[0] - x[1]).mean()
+    side_out = np.abs(wide.pcm[0] - wide.pcm[1]).mean()
+    assert side_out > side_in * 1.5
+    assert mono_in.pcm.shape[0] == 1  # mono passthrough
+
+
+def test_to_colorspace_and_bitdepth_quantize():
+    x = tone(dur_s=0.1)
+    r8 = apply_transformations(x, SR, parse("unsafe/filters:bitdepth(8)/img"))
+    r16 = apply_transformations(x, SR, parse("unsafe/filters:to_colorspace(int16)/img"))
+    assert len(np.unique(r8.pcm)) <= 256
+    assert kernels.snr_db(x, r16.pcm[0]) > 60  # 16-bit barely audible
+    assert kernels.snr_db(x, r8.pcm[0]) < kernels.snr_db(x, r16.pcm[0])
+
+
+def test_crop_filter_post_resize():
+    # crop() filter applies AFTER resize (filter.go:340-382)
+    x = tone(dur_s=2.0)
+    res = apply_transformations(
+        x, SR, parse("unsafe/fit-in/8000x0/filters:crop(100,0,500,0)/img")
+    )
+    assert res.sr == 8000
+    assert res.pcm.shape[1] == kernels.ms_to_samples(600, 8000) - kernels.ms_to_samples(100, 8000)
+    # fractional form
+    res2 = apply_transformations(x, SR, parse("unsafe/filters:crop(0.25,0,0.5,0)/img"))
+    assert abs(res2.pcm.shape[1] - len(x) // 2) <= 2
+
+
+def test_detector_and_redact():
+    quiet = np.zeros(SR // 2, dtype=np.float32)
+    loud = tone(440, 1.0)
+    x = np.concatenate([quiet, loud, quiet])
+    spans = kernels.detect_energy_spans(x, SR, threshold=0.1)
+    assert len(spans) == 1
+    s, e = spans[0]
+    assert 0.2 < s < 0.3 and 0.7 < e < 0.8  # the middle half (normalized)
+    muted = apply_transformations(x, SR, parse("unsafe/filters:redact(mute,10)/img"))
+    assert kernels.rms(muted.pcm) < 0.01
+    bleeped = apply_transformations(x, SR, parse("unsafe/filters:redact(bleep,10)/img"))
+    assert kernels.rms(bleeped.pcm) > 0.05  # tone present, original gone
+    spec = np.abs(np.fft.rfft(bleeped.pcm[0, SR:SR + SR // 2].astype(np.float64)))
+    freqs = np.fft.rfftfreq(SR // 2, 1 / SR)
+    assert spec[np.argmin(np.abs(freqs - 1000))] > spec[np.argmin(np.abs(freqs - 440))]
+
+
+def test_draw_detections_in_meta():
+    quiet = np.zeros(SR // 2, dtype=np.float32)
+    x = np.concatenate([quiet, tone(440, 1.0), quiet])
+    blob = codecs.encode(x, SR, "wav")
+    out, meta = process(blob, parse("unsafe/meta/filters:draw_detections()/img"))
+    assert len(meta["detections"]) == 1
+    assert meta["detections"][0][0] < 0.3 < 0.7 < meta["detections"][0][1] + 0.1
