@@ -1,0 +1,139 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Two implementations per the build guidance (compose built-ins first):
+
+* :func:`asof_join` — the SCALE path: union both sides tagged, one shuffle
+  on the key, then ``last(..., ignorenulls)`` over a window ordered by
+  (ts, side) picks, for every left row, the most recent right row with
+  ``right.ts <= left.ts`` (or strictly ``<``). No range explosion, no
+  cross join; cost = one shuffle + one sort — the same asymptotics at
+  100 TB.
+* :func:`asof_join_pandas` — cogroup + ``pandas.merge_asof`` per key
+  (readable reference implementation; same one-shuffle cost but leaves
+  whole-stage codegen).
+
+DuckDB's native ``ASOF JOIN`` serves as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    strict: bool = False,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row at-or-before (or,
+    with ``strict``, strictly-before) its timestamp, per key. Left columns
+    are preserved; right columns arrive suffixed, plus ``<ts><suffix>``."""
+    extras = [c for c in left.columns if c not in (key, ts)]
+
+    l_u = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in extras]).alias("__payload"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + "__rv")
+            for c in right_cols
+        ],
+    )
+    r_u = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_u.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(c + "__rv") for c in right_cols],
+    )
+    unioned = l_u.unionByName(r_u)
+    # tie handling at equal ts: '<=' ⇒ right rows sort before left rows
+    # (visible to them); strict '<' ⇒ right rows sort after (invisible)
+    side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c + "__rv")), ignorenulls=True)
+            .over(w)
+            .alias(c + suffix)
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias(ts + suffix),
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(f"__payload.{c}").alias(c) for c in extras],
+        *[F.col(c + suffix) for c in right_cols],
+        F.col(ts + suffix),
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    strict: bool = False,
+    suffix: str = "_right",
+) -> DataFrame:
+    """cogroup + merge_asof per key (reference implementation)."""
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"{c}{suffix} {right.schema[c].dataType.simpleString()}" for c in right_cols]
+        + [f"{ts}{suffix} timestamp"]
+    )
+    allow_exact = not strict
+    left_cols = list(left.columns)
+    # pre-rename the right side so the two cogroup sides share no column
+    # names except the key (observed: same-named non-key columns can be
+    # dropped from the right pdf in Spark 4.1's cogroup Arrow transfer)
+    rts = ts + suffix
+    right_renamed = right.select(
+        F.col(key),
+        F.col(ts).alias(rts),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            # right-only key: cogroup still calls us; nothing to emit
+            # (and the empty frame may arrive without column labels)
+            return pd.DataFrame(
+                columns=left_cols + [c + suffix for c in right_cols] + [rts]
+            )
+        l_pdf = l_pdf.sort_values(ts)
+        if r_pdf.empty:
+            for c in right_cols:
+                l_pdf[c + suffix] = None
+            l_pdf[rts] = pd.NaT
+            return l_pdf
+        r_pdf = r_pdf.sort_values(rts)[[rts] + [c + suffix for c in right_cols]]
+        return pd.merge_asof(
+            l_pdf,
+            r_pdf,
+            left_on=ts,
+            right_on=rts,
+            allow_exact_matches=allow_exact,
+            direction="backward",
+        )
+
+    return (
+        left.groupBy(key)
+        .cogroup(right_renamed.groupBy(key))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )

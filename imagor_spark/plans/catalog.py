@@ -612,6 +612,56 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------------------- as-of
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: for every purchase event, the latest strictly
+    prior click by the same user (union+window impl — one shuffle, no
+    range explosion; oracle = DuckDB native ASOF JOIN)."""
+    from ..functions.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_eid")
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts",
+                    right_cols=["click_eid"], strict=True)
+    return out.select(
+        "event_id", F.coalesce(F.col("click_eid_right"), F.lit(-1)).alias("click_eid")
+    )
+
+
+ORACLE_ASOF = """
+SELECT p.event_id, COALESCE(c.event_id, -1) AS click_eid
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+"""
+
+
+def q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via cogroup + pandas.merge_asof (must agree with the
+    union+window implementation AND the DuckDB oracle)."""
+    from ..functions.asof import asof_join_pandas
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_eid")
+    )
+    out = asof_join_pandas(purchases, clicks, key="user_id", ts="ts",
+                           right_cols=["click_eid"], strict=True)
+    return out.select(
+        "event_id", F.coalesce(F.col("click_eid_right"), F.lit(-1)).alias("click_eid")
+    )
+
+
 # ------------------------------------------------------------------ joins
 
 
@@ -665,6 +715,8 @@ EXTRA_QUERIES = {
     "cache_bypass": q_cache_bypass,
     "auto_format": q_auto_format,
     "audio_redact_detect": q_audio_redact_detect,
+    "asof_join": q_asof_join,
+    "asof_join_pandas": q_asof_join_pandas,
 }
 
 
@@ -686,4 +738,6 @@ def extra_oracles() -> dict[str, str]:
         "cache_bypass": ORACLE_CACHE_BYPASS,
         "auto_format": ORACLE_AUTO_FORMAT,
         "audio_redact_detect": ORACLE_REDACT,
+        "asof_join": ORACLE_ASOF,
+        "asof_join_pandas": ORACLE_ASOF,
     }
