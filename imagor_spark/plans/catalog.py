@@ -612,6 +612,85 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------- pivot / set ops
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per user × event_type as columns (SURVEY §2.6 — the
+    reference has no set/pivot engine; Spark supplies it)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+  CAST(COALESCE(SUM(CASE WHEN event_type='click'    THEN 1 END), 0) AS BIGINT) AS click,
+  CAST(COALESCE(SUM(CASE WHEN event_type='error'    THEN 1 END), 0) AS BIGINT) AS error,
+  CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+  CAST(COALESCE(SUM(CASE WHEN event_type='signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+  CAST(COALESCE(SUM(CASE WHEN event_type='view'     THEN 1 END), 0) AS BIGINT) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who clicked EXCEPT purchasers, INTERSECT with
+    error-reporters, UNION of signups (multi-loader coalesce analogue)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    def u(t):
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    clicked_not_buying = u("click").subtract(u("purchase"))
+    core = clicked_not_buying.intersect(u("error"))
+    return core.union(u("signup")).distinct().orderBy("user_id")
+
+
+ORACLE_SET_OPS = """
+SELECT DISTINCT user_id FROM (
+  (SELECT user_id FROM events WHERE event_type='click'
+   EXCEPT SELECT user_id FROM events WHERE event_type='purchase')
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type='error'
+  UNION
+  SELECT user_id FROM events WHERE event_type='signup'
+) ORDER BY user_id
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube/rollup: revenue by (orderstatus, orderpriority) with subtotals."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue", "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
 # ----------------------------------------------------------------- as-of
 
 
@@ -717,6 +796,9 @@ EXTRA_QUERIES = {
     "audio_redact_detect": q_audio_redact_detect,
     "asof_join": q_asof_join,
     "asof_join_pandas": q_asof_join_pandas,
+    "events_pivot": q_events_pivot,
+    "set_ops": q_set_ops,
+    "rollup_revenue": q_rollup_revenue,
 }
 
 
@@ -740,4 +822,7 @@ def extra_oracles() -> dict[str, str]:
         "audio_redact_detect": ORACLE_REDACT,
         "asof_join": ORACLE_ASOF,
         "asof_join_pandas": ORACLE_ASOF,
+        "events_pivot": ORACLE_EVENTS_PIVOT,
+        "set_ops": ORACLE_SET_OPS,
+        "rollup_revenue": ORACLE_ROLLUP,
     }

@@ -196,3 +196,43 @@ def test_text_ops_stay_in_codegen(spark, docs):
 
     plan = text_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "BatchEval" not in plan, plan
+
+
+def test_asof_join_strict_vs_inclusive(spark):
+    import pandas as pd
+
+    from imagor_spark.functions.asof import asof_join, asof_join_pandas
+
+    l = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 10:00"]),
+        "eid": [10, 11, 12],
+    }))
+    r = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 10:01"]),
+        "rid": [100, 101, 102],
+    }))
+    incl = {x["eid"]: x["rid_right"] for x in asof_join(l, r, "k", "ts", ["rid"], strict=False).collect()}
+    strict = {x["eid"]: x["rid_right"] for x in asof_join(l, r, "k", "ts", ["rid"], strict=True).collect()}
+    assert incl == {10: 100, 11: 101, 12: None}   # <=: equal ts matches
+    assert strict == {10: None, 11: 101, 12: None}  # <: equal ts excluded
+    # pandas variant agrees
+    p_incl = {x["eid"]: x["rid_right"] for x in asof_join_pandas(l, r, "k", "ts", ["rid"], strict=False).collect()}
+    assert p_incl == incl
+
+
+def test_negotiate_rewrite(spark):
+    import pandas as pd
+
+    from imagor_spark.engine.negotiate import apply_auto_format
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "ops": ["unsafe/fit-in/8000x0/a", "unsafe/filters:format(wav)/b", "unsafe/c"],
+        "accept": ["audio/flac", "audio/flac", "text/html"],
+        "channels": [1, 1, 1],
+    }))
+    out = {r["ops"]: r["negotiated"] for r in apply_auto_format(df, "accept", "channels").collect()}
+    assert "unsafe/fit-in/8000x0/filters:format(flac)/a" in out  # rewritten
+    assert "unsafe/filters:format(wav)/b" in out  # explicit format untouched
+    assert "unsafe/c" in out  # wav target → untouched
