@@ -23,10 +23,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 def _audio_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imagor_spark.engine.transform import transform
-    from imagor_spark.sources.docs_clips import clips_from_documents
+    from imagor_spark.sources.docs_clips import cached_clips
 
-    clips = clips_from_documents(spark, sf_dir)
-    return transform(clips, secret="1234")
+    clips = cached_clips(spark, sf_dir)
+    return transform(clips, secret="1234", allow_unsafe=True)
 
 
 def q_audio_pipeline_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,6 +61,7 @@ def run_pipeline_bench(spark, sf_dir: str, workdir: str) -> dict:
         os.path.join(workdir, "warm_out"),
         os.path.join(workdir, "warm_ckpt"),
         secret=SECRET,
+        allow_unsafe=True,
         assets=watermark_assets(),
         salt_partitions=spark.sparkContext.defaultParallelism,
         wait=True,
@@ -80,6 +81,7 @@ def run_pipeline_bench(spark, sf_dir: str, workdir: str) -> dict:
             os.path.join(out_dir, f"run{i}"),
             os.path.join(workdir, f"ckpt{i}"),
             secret=SECRET,
+            allow_unsafe=True,
             assets=watermark_assets(),
             salt_partitions=spark.sparkContext.defaultParallelism,
             wait=True,

@@ -368,6 +368,26 @@ def _flt_fingerprint(pcm, sr, args, assets, meta, res):
     return pcm, sr
 
 
+def _flt_modulate(pcm, sr, args, assets, meta, res):
+    """modulate(brightness,saturation,hue) → gain × width × phase composite
+    (filter.go:204-214: exactly 3 percentage/degree args). Audio mapping
+    (SURVEY §2.3): amplitude ×(1+b/100), stereo width ×(1+s/100), uniform
+    spectral phase rotation h°. Missing args default to 0 (identity)."""
+    parts = split_args(args)
+    b = _f(parts[0]) if len(parts) > 0 else 0.0
+    s = _f(parts[1]) if len(parts) > 1 else 0.0
+    h = _f(parts[2]) if len(parts) > 2 else 0.0
+    if b != 0.0:
+        pcm = np.clip(
+            kernels._as_2d(pcm) * np.float32(1.0 + b / 100.0), -1.0, 1.0
+        ).astype(np.float32)
+    if s != 0.0:
+        pcm = kernels.stereo_width(pcm, 1.0 + s / 100.0)
+    if h != 0.0:
+        pcm = kernels.phase_shift(pcm, h)
+    return pcm, sr
+
+
 def _flt_hue(pcm, sr, args, assets, meta, res):
     """hue(deg) → uniform spectral phase rotation (filter.go:174-180)."""
     return kernels.phase_shift(pcm, _f(args)), sr
@@ -440,7 +460,7 @@ FILTER_MAP = {
     "contrast": _flt_contrast,
     "grayscale": _flt_grayscale,
     "rgb": _flt_rgb,
-    "modulate": _flt_gain,  # brightness component of modulate ≅ gain
+    "modulate": _flt_modulate,
     "hue": _flt_hue,
     "saturation": _flt_saturation,
     "to_colorspace": _flt_to_colorspace,

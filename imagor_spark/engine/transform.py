@@ -56,9 +56,10 @@ def _canonicalize(p: Params) -> str:
 class _OpsCache:
     """Per-batch memo of parsed+verified ops strings."""
 
-    def __init__(self, signer: HMACSigner | None, now_ms: int):
+    def __init__(self, signer: HMACSigner | None, now_ms: int, allow_unsafe: bool):
         self.signer = signer
         self.now_ms = now_ms
+        self.allow_unsafe = allow_unsafe
         self.cache: dict[str, tuple[Params, str, str, str]] = {}
 
     def get(self, ops: str) -> tuple[Params, str, str, str]:
@@ -68,9 +69,14 @@ class _OpsCache:
             return hit
         p = parse(ops)
         reject = ""
-        # signature verify (imagor.go:294-302): unsafe passes only when no
-        # signer is configured for unsafe mode; hash must match otherwise
-        if not p.unsafe:
+        # signature verify (imagor.go:290-302): when a signer is configured,
+        # unsafe/ paths pass ONLY if unsafe mode is explicitly enabled
+        # (the reference's default posture rejects them); signed paths must
+        # hash-match
+        if p.unsafe:
+            if not self.allow_unsafe:
+                reject = STATUS_SIG_MISMATCH
+        else:
             if self.signer is None or self.signer.sign(p.path) != p.hash:
                 reject = STATUS_SIG_MISMATCH
         # expire(ts) utility filter (imagor.go:314-322)
@@ -95,10 +101,18 @@ def make_transform_fn(
     alg: str = "sha1",
     truncate: int = 0,
     now_ms: int | None = None,
+    allow_unsafe: bool | None = None,
 ):
     """Build the mapInPandas function. ``assets`` may be a plain dict or a
-    Spark Broadcast (unwrapped lazily on the executor)."""
+    Spark Broadcast (unwrapped lazily on the executor).
+
+    ``allow_unsafe`` mirrors the reference's ``-imagor-unsafe`` flag
+    (imagor.go:290-302): default None resolves to True only when NO secret
+    is configured — with a signer present, ``unsafe/`` paths are rejected
+    (STATUS_SIG_MISMATCH) unless explicitly enabled."""
     signer = HMACSigner(alg, truncate, secret) if secret is not None else None
+    if allow_unsafe is None:
+        allow_unsafe = signer is None
     fixed_now = now_ms
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,7 +121,7 @@ def make_transform_fn(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cache = _OpsCache(signer, now)
+            cache = _OpsCache(signer, now, allow_unsafe)
             n = len(pdf)
             out = {
                 "clip_id": pdf["clip_id"].to_numpy(),
@@ -167,6 +181,7 @@ def transform(
     assets: dict[str, tuple[np.ndarray, int]] | None = None,
     broadcast_assets: bool = True,
     now_ms: int | None = None,
+    allow_unsafe: bool | None = None,
 ):
     """Apply the full ops pipeline to a clips DataFrame → result DataFrame.
 
@@ -174,13 +189,15 @@ def transform(
     streaming pipeline reuses exactly this stage per micro-batch.
 
     ``secret=None`` runs unsafe-only mode (signed rows are quarantined);
-    pass the signing secret to accept signed ops paths.
+    pass the signing secret to accept signed ops paths. With a secret
+    configured, ``unsafe/`` paths are quarantined unless
+    ``allow_unsafe=True`` (reference default posture, imagor.go:290-302).
     """
     spark = df.sparkSession
     b_assets = None
     if assets:
         b_assets = spark.sparkContext.broadcast(assets) if broadcast_assets else assets
-    fn = make_transform_fn(secret, b_assets, now_ms=now_ms)
+    fn = make_transform_fn(secret, b_assets, now_ms=now_ms, allow_unsafe=allow_unsafe)
     return df.mapInPandas(fn, schema=OUTPUT_SCHEMA)
 
 

@@ -61,24 +61,24 @@ def asof_join(
         .orderBy(F.col(ts).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # one struct per right row filled atomically: if the matched (most
+    # recent) right row has NULL in some column, it must stay NULL — not be
+    # backfilled from an older right row (merge_asof / DuckDB ASOF parity)
+    rmatch = F.struct(
+        *[F.col(c + "__rv").alias(c) for c in right_cols], F.col(ts).alias("__rts")
+    )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(c + "__rv")), ignorenulls=True)
-            .over(w)
-            .alias(c + suffix)
-            for c in right_cols
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True)
+        F.last(F.when(F.col("__side") == 0, rmatch), ignorenulls=True)
         .over(w)
-        .alias(ts + suffix),
+        .alias("__rmatch"),
     )
     return filled.filter(F.col("__side") == 1).select(
         F.col(key),
         F.col(ts),
         *[F.col(f"__payload.{c}").alias(c) for c in extras],
-        *[F.col(c + suffix) for c in right_cols],
-        F.col(ts + suffix),
+        *[F.col(f"__rmatch.{c}").alias(c + suffix) for c in right_cols],
+        F.col("__rmatch.__rts").alias(ts + suffix),
     )
 
 

@@ -15,10 +15,13 @@ Spark-first:
 * jaccard   — exact n-gram Jaccard for candidate pairs (verification stage
               after LSH bucketing).
 
-Scale notes: shingling explodes ~|tokens| rows per doc — at 100 TB this is
-the dominant shuffle, so signatures aggregate map-side (groupBy(doc) min()
-is partial-aggregated by Catalyst), and the LSH join is an equi-join on
-(band, bucket) which AQE can handle skew on. No cross joins anywhere.
+Scale notes: signatures (minhash AND simhash) are computed PER ROW with
+higher-order array functions (``transform``/``aggregate``/``array_min``) —
+zero row amplification, zero shuffle before the LSH band join. The exploded
+shingle path (:func:`shingles`) is kept for the exact-Jaccard verification
+join and as the cross-checked twin of the fused signatures. The LSH join is
+an equi-join on (band, bucket) which AQE can handle skew on. No cross joins
+anywhere.
 """
 
 from __future__ import annotations
@@ -56,6 +59,54 @@ def shingles(df: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
     )
 
 
+def _norm_tokens(col: str):
+    return F.split(F.lower(F.regexp_replace(F.trim(F.col(col)), "\\s+", " ")), " ")
+
+
+def shingle_array(col: str = "text", k: int = 3):
+    """Column expression: distinct k-word shingles of a doc as ONE array —
+    no explode, no shuffle. Identical shingle set to :func:`shingles`
+    (element_at past the end returns NULL; concat_ws skips NULLs, matching
+    the short-doc behaviour)."""
+    toks = _norm_tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+
+
+def minhash_signatures_fused(
+    df: DataFrame, col: str = "text", k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """doc_id → [min(md5(shingle||'#i'))] computed PER ROW with higher-order
+    array functions — zero explode, zero shuffle before the LSH band join.
+
+    This is the 100 TB scale path: the explode+distinct+groupBy variant
+    (:func:`shingles` → :func:`minhash_signatures`) shuffles ~|tokens| rows
+    per doc before aggregating; here the signature is one narrow projection
+    and values are bit-identical (min over the same distinct-shingle set).
+    The exploded variant is kept as the cross-checked oracle twin."""
+    # cheap equivalent of size(shingles) > 0: a doc yields ≥1 shingle iff it
+    # has any non-whitespace. Filtering on the array itself would be pushed
+    # below any upstream exchange by predicate pushdown and recompute the
+    # whole shingle expression on the (possibly single-task) scan stage.
+    base = df.filter(F.length(F.trim(F.col(col))) > 0).select(
+        "doc_id", shingle_array(col, k).alias("__shingles")
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__shingles"),
+                (lambda i: lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))(i),
+            )
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return base.select("doc_id", *mins)
+
+
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 16
 ) -> DataFrame:
@@ -84,8 +135,13 @@ def lsh_candidate_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # merge hint: a broadcast self-join would compute the signature lineage
+    # twice (broadcast build + streamed probe); sort-merge shuffles BOTH
+    # sides on (band, bucket) with identical child plans, so Spark plans one
+    # ReusedExchange and the signatures are computed exactly once — also the
+    # only viable plan at 100 TB, where neither side is broadcastable
+    a = banded.hint("merge").alias("a")
+    b = banded.hint("merge").alias("b")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -127,28 +183,47 @@ def jaccard_pairs(
 
 def simhash(df: DataFrame, col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash: each distinct token votes its md5 bits; the sign of
-    the vote sum per bit position forms the hash. Pure column/array ops.
+    the vote sum per bit position forms the hash.
 
-    Uses conv(substr(md5,...)) to get a bits-wide integer per token, then
-    explodes bit positions. bits ≤ 32 keeps conv() exact (< 2^63)."""
-    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col(col)), "\\s+", " ")), " ")
-    t = df.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
-    t = t.filter(F.length("tok") > 0).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    Computed PER ROW with higher-order array functions (the round-1 variant
+    exploded ``bits`` rows per token — |tokens|×32 rows shuffled through two
+    groupBys; this is one narrow projection, zero shuffle). Bit extraction
+    avoids column-valued shift counts via ``floor(h / 2^b) % 2`` — exact in
+    doubles for h < 2^32 and b ≤ 31. bits ≤ 32 keeps conv() exact."""
+    toks = F.array_distinct(F.filter(_norm_tokens(col), lambda t: F.length(t) > 0))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-    pos = t.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        # column-valued shift counts need the SQL form (the Python
-        # F.shiftright wrapper only takes a literal numBits)
-        "vote",
-        F.when(F.expr("(shiftright(h, bit) & 1)") == 1, 1).otherwise(-1),
+    # cheap pushdown-safe emptiness predicate (see minhash_signatures_fused)
+    base = df.filter(F.length(F.trim(F.col(col))) > 0).select(
+        "doc_id", hashes.alias("__hs")
     )
-    votes = pos.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
+    bit_seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.transform(
+        bit_seq,
+        lambda b: F.aggregate(
+            F.col("__hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.pmod(
+                    F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long"),
+                    F.lit(2),
+                )
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
     )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_seq,
+            lambda v, b: F.when(
+                v > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return base.select("doc_id", sim.alias("simhash"))

@@ -82,6 +82,9 @@ def _atof(s: str) -> float:
 
 _PCT_OK = re.compile("%[0-9a-fA-F]{2}")
 
+# RFC 4648 §5 base64url alphabet, no padding (Go base64.RawURLEncoding)
+_B64URL_RAW = re.compile("[A-Za-z0-9_-]*")
+
 
 def _query_unescape(s: str) -> str:
     """Go ``url.QueryUnescape`` semantics (parse.go:163-165): '+' becomes
@@ -89,7 +92,10 @@ def _query_unescape(s: str) -> str:
     stripped = _PCT_OK.sub("", s)
     if "%" in stripped:
         return s
-    return urllib.parse.unquote_plus(s)
+    # surrogateescape so non-UTF-8 percent-escapes (e.g. %FF) survive as raw
+    # bytes like Go's url.QueryUnescape, instead of collapsing to U+FFFD —
+    # keeps canonical paths / storage keys / result digests bit-exact
+    return urllib.parse.unquote_plus(s, errors="surrogateescape")
 
 
 def parse(path: str) -> Params:
@@ -195,16 +201,20 @@ def apply(p: Params, path: str) -> Params:
         if img != "":
             img = _query_unescape(img)
             if img.startswith("b64:"):
-                # base64url per RFC 4648 §5, unpadded (parse.go:167-175);
-                # on decode failure keep the original (filename may just
-                # happen to start with "b64:")
-                try:
-                    raw = img[4:]
-                    decoded = base64.urlsafe_b64decode(raw + "=" * (-len(raw) % 4))
-                    img = decoded.decode("utf-8", errors="surrogateescape")
-                    p.base64_image = True
-                except Exception:
-                    pass
+                # base64url per RFC 4648 §5, unpadded (parse.go:167-175).
+                # Go's base64.RawURLEncoding rejects '=' padding and any
+                # character outside the base64url alphabet, and a length
+                # ≡ 1 (mod 4) is never a valid raw encoding — mirror that
+                # strictness; on rejection keep the original (filename may
+                # just happen to start with "b64:")
+                raw = img[4:]
+                if _B64URL_RAW.fullmatch(raw) and len(raw) % 4 != 1:
+                    try:
+                        decoded = base64.urlsafe_b64decode(raw + "=" * (-len(raw) % 4))
+                        img = decoded.decode("utf-8", errors="surrogateescape")
+                        p.base64_image = True
+                    except Exception:
+                        pass
             p.image = img
     return p
 

@@ -90,12 +90,20 @@ def oracle_lang_id() -> str:
 # ------------------------------------------------------------------ dedup
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.dedup import minhash_signatures, shingles
-
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, spread across cores: the testdata is ONE small file
+    (one input split), so the per-row signature math would otherwise run on
+    a single task. At real scale the table has many splits and this
+    repartition is unnecessary — it exists to parallelize CPU-bound per-row
+    work over a tiny input, and shuffles only ~MBs of text."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = shingles(docs, "text", k=3)
-    return minhash_signatures(sh, n_hashes=8)
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import minhash_signatures_fused
+
+    return minhash_signatures_fused(_docs_spread(spark, sf_dir), "text", k=3, n_hashes=8)
 
 
 ORACLE_MINHASH = r"""
@@ -119,10 +127,9 @@ FROM sh GROUP BY doc_id
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures_fused
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sig = minhash_signatures(shingles(docs, "text", k=3), n_hashes=8)
+    sig = minhash_signatures_fused(_docs_spread(spark, sf_dir), "text", k=3, n_hashes=8)
     return lsh_candidate_pairs(sig, n_hashes=8, bands=4).orderBy("doc_a", "doc_b")
 
 
@@ -179,8 +186,7 @@ FROM documents GROUP BY 1 ORDER BY 1
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import simhash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs, "text", bits=32)
+    return simhash(_docs_spread(spark, sf_dir), "text", bits=32)
 
 
 ORACLE_SIMHASH = r"""
@@ -288,7 +294,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.docs_clips import CLIPS_SCHEMA
 
     stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(cache_dir + "/in")
-    fn = make_transform_fn("1234")
+    fn = make_transform_fn("1234", allow_unsafe=True)
     res = stream.mapInPandas(fn, schema=OUTPUT_SCHEMA).withWatermark("ingest_ts", "5 minutes")
     agg = (
         res.filter(F.col("status") == "ok")

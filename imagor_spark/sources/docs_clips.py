@@ -95,6 +95,27 @@ def clips_from_documents(spark, sf_dir: str):
     return docs.mapInPandas(gen, schema=CLIPS_SCHEMA)
 
 
+def cached_clips(spark, sf_dir: str):
+    """Materialize the derived clips table ONCE per sf_dir (marker-guarded
+    tempdir parquet) and read it back — the derivation (synth + encode per
+    row) is deterministic, so every audio query can share it instead of
+    re-paying the synthesis (the round-1 bench re-derived 50k clips per
+    query). At real scale the input is an existing table; this cache only
+    exists because the sandbox derives its input from documents.parquet."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cache_dir = os.path.join(tempfile.gettempdir(), f"imagor_clips_{tag}")
+    marker = os.path.join(cache_dir, "_done")
+    if not os.path.exists(marker):
+        clips_from_documents(spark, sf_dir).write.mode("overwrite").parquet(
+            os.path.join(cache_dir, "data")
+        )
+        open(marker, "w").close()
+    return spark.read.parquet(os.path.join(cache_dir, "data"))
+
+
 # DuckDB SQL predicting the engine's measured output shapes by arithmetic.
 # Every float expression mirrors the Python kernels' IEEE-double op order
 # (half-up rounding via FLOOR(x+0.5), e-notation literals to force DOUBLE):

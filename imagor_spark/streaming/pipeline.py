@@ -58,6 +58,7 @@ def build_stream(
     assets: dict | None = None,
     max_files_per_trigger: int | None = None,
     for_aggregation: bool = False,
+    allow_unsafe: bool | None = None,
 ) -> DataFrame:
     """Source → watermark → dedup → transform. Returns the streaming
     result DataFrame (un-sunk), so windowed aggs can branch off it."""
@@ -68,7 +69,7 @@ def build_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
     b_assets = spark.sparkContext.broadcast(assets) if assets else None
-    fn = make_transform_fn(secret, b_assets)
+    fn = make_transform_fn(secret, b_assets, allow_unsafe=allow_unsafe)
     if not for_aggregation:
         # SINK layout: dedup BEFORE transform — the singleflight semantic
         # (imagor.go:842-884): a duplicate clip_id must never pay the render.
@@ -129,6 +130,7 @@ def run_pipeline(
     assets: dict | None = None,
     use_rocksdb: bool = True,
     wait: bool = True,
+    allow_unsafe: bool | None = None,
 ):
     """End-to-end: build, sink, (optionally) wait for availableNow drain."""
     configure_streaming(spark, use_rocksdb)
@@ -136,6 +138,7 @@ def run_pipeline(
     result = build_stream(
         spark, input_dir, secret=secret, watermark=watermark,
         dedup=dedup, salt_partitions=salt_partitions, assets=assets,
+        allow_unsafe=allow_unsafe,
     )
     q, sink = run_to_sink(result, out_dir, checkpoint_dir)
     if wait:

@@ -408,3 +408,23 @@ def test_draw_detections_in_meta():
     out, meta = process(blob, parse("unsafe/meta/filters:draw_detections()/img"))
     assert len(meta["detections"]) == 1
     assert meta["detections"][0][0] < 0.3 < 0.7 < meta["detections"][0][1] + 0.1
+
+
+def test_modulate_three_args():
+    """modulate(b,s,h) composite (filter.go:204-214): gain ×(1+b/100) +
+    stereo width ×(1+s/100) + phase shift h° — the 3-arg form must NOT
+    silently no-op (round-1 regression)."""
+    x = np.stack([tone(440, 0.2), 0.5 * tone(440, 0.2)])
+    out = apply_transformations(x, SR, parse("unsafe/filters:modulate(50,100,0)/img"))
+    # brightness component: amplitude ×1.5
+    assert abs(kernels.rms(out.pcm) / kernels.rms(kernels.stereo_width(x * np.float32(1.5), 2.0)) - 1) < 1e-3
+    side_in = np.abs(x[0] - x[1]).mean()
+    side_out = np.abs(out.pcm[0] - out.pcm[1]).mean()
+    assert side_out > side_in * 1.2  # saturation widened the stereo image
+    # hue component alone: energy preserved, waveform rotated
+    rot = apply_transformations(tone(440, 0.2), SR, parse("unsafe/filters:modulate(0,0,90)/img"))
+    assert abs(kernels.rms(rot.pcm) - kernels.rms(tone(440, 0.2))) < 0.01
+    assert kernels.snr_db(tone(440, 0.2), rot.pcm[0]) < 20
+    # 1-arg form = pure amplitude multiply (NOT dB gain)
+    one = apply_transformations(tone(440, 0.2, amp=0.4), SR, parse("unsafe/filters:modulate(25)/img"))
+    assert abs(kernels.rms(one.pcm) / kernels.rms(tone(440, 0.2, amp=0.4)) - 1.25) < 1e-3

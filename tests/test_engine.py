@@ -35,7 +35,7 @@ def clips(spark):
 
 @pytest.fixture(scope="module")
 def result(spark, clips):
-    out = transform(clips, secret=SECRET, assets=watermark_assets())
+    out = transform(clips, secret=SECRET, assets=watermark_assets(), allow_unsafe=True)
     out.cache().count()
     return out
 
@@ -111,7 +111,7 @@ def test_result_key_is_sha1_of_canonical(result):
 def test_transform_stage_is_narrow(spark, clips):
     """The transform must not introduce a shuffle: upstream partitioning
     (e.g. salted codec repartition) has to survive into the sink stage."""
-    out = transform(clips, secret=SECRET)
+    out = transform(clips, secret=SECRET, allow_unsafe=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
 
@@ -138,5 +138,21 @@ def test_expired_filter(spark):
     row["ops"] = "unsafe/filters:expire(1000)/clip00000001"  # epoch-ms long past
     pdf = pd.DataFrame([row])
     df = spark.createDataFrame(pdf)
-    out = transform(df, secret=SECRET)
+    out = transform(df, secret=SECRET, allow_unsafe=True)
     assert out.first()["status"] == "expired"
+
+
+def test_secure_default_rejects_unsafe_when_signer_configured(spark):
+    """Reference posture (imagor.go:290-302): with a signer configured and
+    unsafe mode NOT explicitly enabled, ``unsafe/`` paths are quarantined."""
+    import pandas as pd
+
+    row = make_row(42, 2)
+    row["ops"] = "unsafe/fit-in/16000x0/clip00000002"
+    df = spark.createDataFrame(pd.DataFrame([row]))
+    # default (allow_unsafe unset) with a secret → reject
+    assert transform(df, secret=SECRET).first()["status"] == "sig_mismatch"
+    # explicitly enabled → processed
+    assert transform(df, secret=SECRET, allow_unsafe=True).first()["status"] == "ok"
+    # no signer configured → unsafe is the only mode, passes
+    assert transform(df, secret=None).first()["status"] == "ok"

@@ -236,3 +236,61 @@ def test_negotiate_rewrite(spark):
     assert "unsafe/fit-in/8000x0/filters:format(flac)/a" in out  # rewritten
     assert "unsafe/filters:format(wav)/b" in out  # explicit format untouched
     assert "unsafe/c" in out  # wav target → untouched
+
+
+def test_asof_match_is_row_atomic(spark):
+    """If the matched (most recent) right row holds NULL in a column, that
+    NULL must be emitted — not backfilled from an older right row
+    (merge_asof / DuckDB ASOF parity)."""
+    import datetime as dt
+
+    from imagor_spark.functions.asof import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([("k", t(10), 1)], "user_id string, ts timestamp, event_id int")
+    right = spark.createDataFrame(
+        [("k", t(1), 100, "old"), ("k", t(5), None, "new")],
+        "user_id string, ts timestamp, click_eid int, tag string",
+    )
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_cols=["click_eid", "tag"]).first()
+    assert out["tag_right"] == "new"
+    assert out["click_eid_right"] is None  # NOT 100 from the older row
+
+
+def test_fused_minhash_matches_exploded(spark, docs):
+    """The per-row higher-order-function signature (scale path) must be
+    bit-identical to the explode+groupBy twin."""
+    from imagor_spark.functions.dedup import (
+        minhash_signatures,
+        minhash_signatures_fused,
+        shingles,
+    )
+
+    a = [tuple(r) for r in minhash_signatures_fused(docs, "text", k=3, n_hashes=4)
+         .orderBy("doc_id").collect()]
+    b = [tuple(r) for r in minhash_signatures(shingles(docs, "text", k=3), n_hashes=4)
+         .orderBy("doc_id").collect()]
+    assert a == b and len(a) > 0
+
+
+def test_simhash_matches_python_reference(spark):
+    import hashlib
+
+    from imagor_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta  beta gamma"), (2, "Zed")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", bits=32).collect()}
+
+    def ref(tokens):
+        votes = [0] * 32
+        for t in tokens:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if votes[b] > 0)
+
+    assert rows[1] == ref({"alpha", "beta", "gamma"})
+    assert rows[2] == ref({"zed"})

@@ -528,3 +528,25 @@ def test_parse_generate_property(
     q = parse(path)
     expected = dataclasses.replace(p, path=path)
     assert q == expected
+
+
+def test_query_unescape_preserves_raw_bytes():
+    """Non-UTF-8 percent-escapes survive as raw bytes (Go url.QueryUnescape
+    parity via surrogateescape), so digests/keys stay bit-exact."""
+    p = parse("unsafe/%FF%FEimg")
+    assert p.image == "\udcff\udcfeimg"  # surrogate-escaped raw bytes
+    assert "�" not in p.image
+
+
+def test_b64_image_rejects_padding_and_invalid():
+    """Go base64.RawURLEncoding strictness: '=' padding or out-of-alphabet
+    characters keep the original path (base64_image stays False)."""
+    padded = parse("unsafe/b64:Zm8=")
+    assert padded.image == "b64:Zm8=" and not padded.base64_image
+    bad = parse("unsafe/b64:Zm8*")
+    assert bad.image == "b64:Zm8*" and not bad.base64_image
+    # len % 4 == 1 is never a valid raw encoding
+    short = parse("unsafe/b64:Zm8xa")
+    assert short.image == "b64:Zm8xa" and not short.base64_image
+    ok = parse("unsafe/b64:Zm8")
+    assert ok.image == "fo" and ok.base64_image

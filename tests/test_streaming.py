@@ -39,7 +39,7 @@ def write_pdf(spark, path, pdf):
 def test_streaming_end_to_end(spark, dirs):
     write_batch(spark, dirs["in"], 0, 60)
     q, sink = run_pipeline(
-        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, wait=True
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, allow_unsafe=True, wait=True
     )
     out = sink.read_committed(spark)
     assert out.filter(out.status == "ok").count() > 0
@@ -48,7 +48,7 @@ def test_streaming_end_to_end(spark, dirs):
     from imagor_spark.engine.transform import transform
 
     batch_out = transform(spark.read.parquet(dirs["in"]).dropDuplicates(["clip_id"]),
-                          secret=SECRET)
+                          secret=SECRET, allow_unsafe=True)
     assert n_stream == batch_out.count()
     # lineage + metrics written per batch
     lineage = sink.read_lineage(spark)
@@ -65,7 +65,7 @@ def test_duplicate_clip_renders_once(spark, dirs):
     write_pdf(spark, dirs["in"], pdf)
     write_pdf(spark, dirs["in"], dup)
     q, sink = run_pipeline(
-        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, wait=True
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, allow_unsafe=True, wait=True
     )
     out = sink.read_committed(spark)
     counts = out.groupBy("clip_id").count().filter("count > 1").count()
@@ -78,7 +78,7 @@ def test_checkpoint_resume_exactly_once(spark, dirs):
     checkpoint: committed output still has one row per clip_id."""
     write_batch(spark, dirs["in"], 0, 40)
     q, sink = run_pipeline(
-        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, wait=True
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, allow_unsafe=True, wait=True
     )
     n1 = sink.read_committed(spark).count()
     # second wave: 20 new clips + re-send of 10 old ones
@@ -86,7 +86,7 @@ def test_checkpoint_resume_exactly_once(spark, dirs):
     pdf_old = make_pdf(42, range(0, 10), signed_mix=False)
     write_pdf(spark, dirs["in"], pdf_old)
     q2, sink2 = run_pipeline(
-        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, wait=True
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET, allow_unsafe=True, wait=True
     )
     out = sink2.read_committed(spark)
     dupes = out.groupBy("clip_id").count().filter("count > 1").count()
@@ -99,7 +99,7 @@ def test_sink_replay_is_idempotent(spark, dirs):
     df = generate_clips_df(spark, 20, signed_mix=False)
     from imagor_spark.engine.transform import transform
 
-    res = transform(df, secret=SECRET).cache()
+    res = transform(df, secret=SECRET, allow_unsafe=True).cache()
     sink = IdempotentSink(dirs["out"])
     sink(res, 7)
     first = sink.read_committed(spark).count()
@@ -121,7 +121,7 @@ def test_late_data_dropped_beyond_watermark(spark, dirs):
     write_pdf(spark, dirs["in"], late)
     q, sink = run_pipeline(
         spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
-        watermark="1 minute", wait=True,
+        allow_unsafe=True, watermark="1 minute", wait=True,
     )
     out = sink.read_committed(spark)
     assert out.groupBy("clip_id").count().filter("count > 1").count() == 0
@@ -132,7 +132,7 @@ def test_tumbling_and_session_windows_streaming(spark, dirs):
     per-(window, codec, sr_bucket) rollups."""
     write_batch(spark, dirs["in"], 0, 80)
     configure_streaming(spark)
-    result = build_stream(spark, dirs["in"], secret=SECRET, watermark="5 minutes", for_aggregation=True)
+    result = build_stream(spark, dirs["in"], secret=SECRET, allow_unsafe=True, watermark="5 minutes", for_aggregation=True)
     agg = tumbling_agg(result, window="1 minute")
     q = (
         agg.writeStream.outputMode("append")
@@ -148,7 +148,7 @@ def test_tumbling_and_session_windows_streaming(spark, dirs):
     # presence + shape is the assertion
     assert all(r["n_clips"] >= 1 for r in rows)
 
-    sess = session_agg(build_stream(spark, dirs["in"], secret=SECRET, watermark="5 minutes", for_aggregation=True))
+    sess = session_agg(build_stream(spark, dirs["in"], secret=SECRET, allow_unsafe=True, watermark="5 minutes", for_aggregation=True))
     q2 = (
         sess.writeStream.outputMode("append")
         .format("memory")
@@ -167,7 +167,7 @@ def test_salted_agg_matches_unsalted(spark):
     df = generate_clips_df(spark, 200, signed_mix=False)
     from imagor_spark.engine.transform import transform
 
-    res = transform(df, secret=SECRET).cache()
+    res = transform(df, secret=SECRET, allow_unsafe=True).cache()
     plain = tumbling_agg(res, salted=False).select(
         "win", "codec", "sr_bucket", "n_clips", "out_bytes"
     )
