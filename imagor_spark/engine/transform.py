@@ -26,6 +26,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ..audio import apply as audio_apply
 from ..audio import codecs
@@ -199,6 +200,39 @@ def transform(
         b_assets = spark.sparkContext.broadcast(assets) if broadcast_assets else assets
     fn = make_transform_fn(secret, b_assets, now_ms=now_ms, allow_unsafe=allow_unsafe)
     return df.mapInPandas(fn, schema=OUTPUT_SCHEMA)
+
+
+def with_result_key(df, ops_col: str = "ops", out_col: str = "result_key"):
+    """Attach the result-cache key (parse → canonical → hex digest) WITHOUT
+    decoding payloads — the cheap projection that makes cache-hit-before-
+    render possible (≅ the key the reference derives before ``loadResult``,
+    imagor.go:403-408). Memoized per distinct ops string within a batch."""
+
+    @F.pandas_udf("string")
+    def rk(ops: pd.Series) -> pd.Series:
+        memo: dict[str, str] = {}
+
+        def one(o: str) -> str:
+            hit = memo.get(o)
+            if hit is None:
+                hit = memo[o] = hex_digest_path(generate_path(parse(o)))
+            return hit
+
+        return ops.map(one)
+
+    return df.withColumn(out_col, rk(F.col(ops_col)))
+
+
+def skip_rendered(df, rendered_keys_df, ops_col: str = "ops"):
+    """Result-cache load (imagor.go:403-408, loadResult imagor.go:600-664):
+    left-anti join incoming clips against the committed rendered-keys index,
+    so already-rendered work is skipped BEFORE the transform ever decodes a
+    payload. Works on batch and streaming DataFrames (stream-static left
+    anti is supported); at scale both sides hash-partition on result_key —
+    one shuffle of (key, small row) pairs, never of payload-decoded data."""
+    keyed = with_result_key(df, ops_col=ops_col, out_col="__rk")
+    rendered = rendered_keys_df.select(F.col("result_key").alias("__rk"))
+    return keyed.join(rendered, "__rk", "left_anti").drop("__rk")
 
 
 def split_quarantine(result_df):

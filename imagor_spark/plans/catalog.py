@@ -747,6 +747,42 @@ def q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- result cache
+
+
+def q_result_cache_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-cache load at data scale (imagor.go:403-408, loadResult
+    :600-664): pretend the even-doc_id half of the derived clips is already
+    committed (its result keys form the rendered index); the left-anti join
+    must pass through EXACTLY the odd half. Survivor counts per ops template
+    are pure doc_id arithmetic for the oracle. Scale shape: one hash
+    shuffle of (key, small row) pairs — payloads are never decoded for
+    cache hits."""
+    from ..engine.transform import skip_rendered, with_result_key
+    from ..sources.docs_clips import cached_clips
+
+    clips = cached_clips(spark, sf_dir).select("clip_id", "ops")
+    keyed = clips.withColumn(
+        "doc_id", F.regexp_replace("clip_id", "^doc", "").cast("long")
+    )
+    rendered = with_result_key(keyed.filter(F.col("doc_id") % 2 == 0)).select(
+        "result_key"
+    )
+    survivors = skip_rendered(keyed, rendered)
+    return (
+        survivors.groupBy((F.col("doc_id") % 8).alias("tmpl"))
+        .agg(F.count("*").alias("n_clips"))
+        .orderBy("tmpl")
+    )
+
+
+ORACLE_RESULT_CACHE = """
+SELECT doc_id % 8 AS tmpl, COUNT(*) AS n_clips
+FROM documents WHERE doc_id % 2 = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------------------------ joins
 
 
@@ -802,6 +838,7 @@ EXTRA_QUERIES = {
     "audio_redact_detect": q_audio_redact_detect,
     "asof_join": q_asof_join,
     "asof_join_pandas": q_asof_join_pandas,
+    "result_cache_antijoin": q_result_cache_antijoin,
     "events_pivot": q_events_pivot,
     "set_ops": q_set_ops,
     "rollup_revenue": q_rollup_revenue,
@@ -828,6 +865,7 @@ def extra_oracles() -> dict[str, str]:
         "audio_redact_detect": ORACLE_REDACT,
         "asof_join": ORACLE_ASOF,
         "asof_join_pandas": ORACLE_ASOF,
+        "result_cache_antijoin": ORACLE_RESULT_CACHE,
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "set_ops": ORACLE_SET_OPS,
         "rollup_revenue": ORACLE_ROLLUP,

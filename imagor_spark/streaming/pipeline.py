@@ -59,15 +59,27 @@ def build_stream(
     max_files_per_trigger: int | None = None,
     for_aggregation: bool = False,
     allow_unsafe: bool | None = None,
+    rendered_keys: DataFrame | None = None,
 ) -> DataFrame:
-    """Source → watermark → dedup → transform. Returns the streaming
-    result DataFrame (un-sunk), so windowed aggs can branch off it."""
+    """Source → result-cache anti-join → watermark → dedup → transform.
+    Returns the streaming result DataFrame (un-sunk), so windowed aggs can
+    branch off it.
+
+    ``rendered_keys``: static DataFrame[result_key] of already-committed
+    renders (``IdempotentSink.read_rendered_keys``). Incoming clips whose
+    ops resolve to a committed key are dropped BEFORE decode — the
+    reference's cache-hit-before-render economy (imagor.go:403-408,
+    loadResult :600-664)."""
     reader = spark.readStream.schema(CLIPS_SCHEMA)
     if max_files_per_trigger:
         # admission control ≅ ProcessConcurrency/ProcessQueueSize semaphores
         # (imagor.go:134-137,409-427): bound in-flight work per trigger
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
+    if rendered_keys is not None:
+        from ..engine.transform import skip_rendered
+
+        stream = skip_rendered(stream, rendered_keys)
     b_assets = spark.sparkContext.broadcast(assets) if assets else None
     fn = make_transform_fn(secret, b_assets, allow_unsafe=allow_unsafe)
     if not for_aggregation:
@@ -131,14 +143,23 @@ def run_pipeline(
     use_rocksdb: bool = True,
     wait: bool = True,
     allow_unsafe: bool | None = None,
+    result_cache_dir: str | None = None,
 ):
-    """End-to-end: build, sink, (optionally) wait for availableNow drain."""
+    """End-to-end: build, sink, (optionally) wait for availableNow drain.
+
+    ``result_cache_dir``: a prior run's sink directory; its committed
+    rendered-keys index is anti-joined upstream of the transform, so a
+    re-run / backfill / fresh-checkpoint restart over already-rendered
+    clips renders nothing (pass ``out_dir`` itself to resume-with-cache)."""
     configure_streaming(spark, use_rocksdb)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    rendered = None
+    if result_cache_dir:
+        rendered = IdempotentSink(result_cache_dir).read_rendered_keys(spark)
     result = build_stream(
         spark, input_dir, secret=secret, watermark=watermark,
         dedup=dedup, salt_partitions=salt_partitions, assets=assets,
-        allow_unsafe=allow_unsafe,
+        allow_unsafe=allow_unsafe, rendered_keys=rendered,
     )
     q, sink = run_to_sink(result, out_dir, checkpoint_dir)
     if wait:

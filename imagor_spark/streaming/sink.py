@@ -1,4 +1,5 @@
-"""Exactly-once foreachBatch sink with per-partition lineage + metrics.
+"""Exactly-once foreachBatch sink with per-partition lineage + metrics and
+a rendered-keys side table (the result-cache index).
 
 ``foreachBatch`` alone is at-least-once (a batch may replay after failure,
 SURVEY §7 hard-point c). We make the effect idempotent the standard way:
@@ -19,6 +20,19 @@ Lineage + metrics (north_rule): every batch also appends rows to
 ``lineage/`` — one row per (batch, spark partition) with row counts and
 event-time bounds — and ``metrics/`` — one row per (batch, status, codec)
 mirroring imagor's Prometheus counters (metrics/prometheusmetrics).
+
+Rendered keys (result-cache load, imagor.go:403-408 + loadResult
+imagor.go:600-664): each batch appends the committed ``result_key``s of
+successful renders to ``rendered_keys/`` — a compact index the pipeline
+left-anti-joins incoming clips against, so re-runs/backfills skip work that
+is already in result storage.
+
+Single-pass design: the payload (binary) column is traversed exactly ONCE —
+the partitioned data write. Lineage, metrics and rendered keys are then
+aggregated from a column-pruned re-read of the just-written parquet
+(out_len/part_id materialized at write time), so no multi-GB batch ever
+needs to be persisted for two tiny aggregates (the round-1 sink cached the
+full payload batch three jobs long).
 """
 
 from __future__ import annotations
@@ -29,6 +43,9 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
+# statuses whose results land in result storage (≅ successful render)
+_RENDERED_STATUSES = ("ok", "meta")
+
 
 class IdempotentSink:
     def __init__(self, out_dir: str, partition_by: str | None = "codec"):
@@ -37,6 +54,7 @@ class IdempotentSink:
         self.commits_dir = os.path.join(out_dir, "_commits")
         self.lineage_dir = os.path.join(out_dir, "lineage")
         self.metrics_dir = os.path.join(out_dir, "metrics")
+        self.rendered_dir = os.path.join(out_dir, "rendered_keys")
         self.partition_by = partition_by
         os.makedirs(self.commits_dir, exist_ok=True)
 
@@ -50,40 +68,65 @@ class IdempotentSink:
         if self.is_committed(batch_id):
             return  # replayed batch: effect already visible → exactly-once
         t0 = time.time()
-        batch_df = batch_df.withColumn("part_id", F.spark_partition_id())
-        batch_df.persist()
+        spark = batch_df.sparkSession
+        # provenance columns materialized in the SINGLE payload pass:
+        # part_id = producing partition, out_len = payload size
+        batch_df = batch_df.withColumn("part_id", F.spark_partition_id()).withColumn(
+            "out_len", F.length("bytes")
+        )
+        data_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        writer = batch_df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(data_path)
+
+        # derived side tables from a column-pruned re-read (never touches
+        # the binary column again — parquet reads only the tiny columns)
         try:
-            # per-partition lineage BEFORE the main write so a commit always
-            # has its provenance rows
-            lineage = (
-                batch_df.groupBy("part_id")
-                .agg(
-                    F.count("*").alias("n_rows"),
-                    F.min("ingest_ts").alias("min_ingest_ts"),
-                    F.max("ingest_ts").alias("max_ingest_ts"),
-                    F.sum(F.length("bytes")).alias("out_bytes"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-            )
-            metrics = (
-                batch_df.groupBy("status", "codec")
-                .agg(F.count("*").alias("n"))
-                .withColumn("batch_id", F.lit(batch_id))
-            )
-            writer = batch_df.drop("part_id").write.mode("overwrite")
+            written = spark.read.parquet(data_path)
+        except Exception:
+            # empty batch + dynamic partitionBy writes zero files; write a
+            # schema-bearing empty file inside a synthetic partition dir so
+            # the directory layout stays consistent with non-empty batches
+            # (readers of data/lineage/metrics then see the batch as 0 rows)
+            empty = batch_df.limit(0).coalesce(1)
+            target = data_path
             if self.partition_by:
-                writer = writer.partitionBy(self.partition_by)
-            writer.parquet(os.path.join(self.data_dir, f"batch_id={batch_id}"))
-            # plain batch-N dir names (no '=') so partition inference does
-            # not collide with the explicit batch_id column in the rows
-            lineage.write.mode("overwrite").parquet(
-                os.path.join(self.lineage_dir, f"batch-{batch_id}")
+                empty = empty.drop(self.partition_by)
+                target = os.path.join(data_path, f"{self.partition_by}=__empty__")
+            empty.write.mode("overwrite").parquet(target)
+            written = spark.read.parquet(data_path)
+        lineage = (
+            written.groupBy("part_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("ingest_ts").alias("min_ingest_ts"),
+                F.max("ingest_ts").alias("max_ingest_ts"),
+                F.sum("out_len").alias("out_bytes"),
             )
-            metrics.write.mode("overwrite").parquet(
-                os.path.join(self.metrics_dir, f"batch-{batch_id}")
-            )
-        finally:
-            batch_df.unpersist()
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        metrics = (
+            written.groupBy("status", "codec")
+            .agg(F.count("*").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        rendered = (
+            written.filter(F.col("status").isin(*_RENDERED_STATUSES))
+            .select("result_key")
+            .distinct()
+        )
+        # plain batch-N dir names (no '=') so partition inference does
+        # not collide with the explicit batch_id column in the rows
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(self.lineage_dir, f"batch-{batch_id}")
+        )
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(self.metrics_dir, f"batch-{batch_id}")
+        )
+        rendered.write.mode("overwrite").parquet(
+            os.path.join(self.rendered_dir, f"batch-{batch_id}")
+        )
         # atomic commit marker LAST
         tmp = self._marker(batch_id) + ".tmp"
         with open(tmp, "w") as f:
@@ -98,10 +141,12 @@ class IdempotentSink:
         except FileNotFoundError:
             return []
 
+    def _committed_paths(self, base: str, prefix: str) -> list[str]:
+        paths = [os.path.join(base, f"{prefix}{b}") for b in self.committed_batches()]
+        return [p for p in paths if os.path.exists(p)]
+
     def read_committed(self, spark) -> DataFrame:
-        batches = self.committed_batches()
-        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in batches]
-        paths = [p for p in paths if os.path.exists(p)]
+        paths = self._committed_paths(self.data_dir, "batch_id=")
         if not paths:
             raise FileNotFoundError("no committed batches")
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
@@ -111,3 +156,12 @@ class IdempotentSink:
 
     def read_metrics(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.metrics_dir, "batch-*"))
+
+    def read_rendered_keys(self, spark) -> DataFrame:
+        """Committed result-cache index: DataFrame[result_key] (distinct per
+        batch; dedup across batches happens in the anti-join). Empty frame
+        when nothing is committed yet."""
+        paths = self._committed_paths(self.rendered_dir, "batch-")
+        if not paths:
+            return spark.createDataFrame([], "result_key string")
+        return spark.read.parquet(*paths).select("result_key")

@@ -184,3 +184,39 @@ def test_batch_sessionize(spark):
     sess = batch_sessionize(df, gap_seconds=30)
     total = sess.agg(F.sum("n_rows")).first()[0]
     assert total == 100
+
+
+def test_result_cache_skips_already_rendered(spark, dirs):
+    """Result-cache load (imagor.go:403-408/600-664): a second run with a
+    FRESH checkpoint and a fresh sink, anti-joined against the first run's
+    committed rendered-keys index, must render 0 rows; newly-appended clips
+    must still render."""
+    write_batch(spark, dirs["in"], 0, 30)
+    q, sink = run_pipeline(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
+        allow_unsafe=True, wait=True,
+    )
+    n1 = sink.read_committed(spark).count()
+    assert n1 > 0
+    assert sink.read_rendered_keys(spark).count() > 0
+    # second run: fresh checkpoint + fresh out dir, cache from run 1
+    out2, ck2 = dirs["out"] + "_2", dirs["ckpt"] + "_2"
+    q2, sink2 = run_pipeline(
+        spark, dirs["in"], out2, ck2, secret=SECRET, allow_unsafe=True,
+        wait=True, result_cache_dir=dirs["out"],
+    )
+    try:
+        n2 = sink2.read_committed(spark).count()
+    except FileNotFoundError:
+        n2 = 0
+    assert n2 == 0, f"cache miss: re-rendered {n2} rows"
+    # backfill: 10 new clips appended → only those render
+    write_batch(spark, dirs["in"], 1000, 10)
+    out3, ck3 = dirs["out"] + "_3", dirs["ckpt"] + "_3"
+    q3, sink3 = run_pipeline(
+        spark, dirs["in"], out3, ck3, secret=SECRET, allow_unsafe=True,
+        wait=True, result_cache_dir=dirs["out"],
+    )
+    out3_rows = sink3.read_committed(spark)
+    assert out3_rows.count() == 10
+    assert out3_rows.filter(~out3_rows.clip_id.rlike("^clip0000(10[0-9])")).count() == 0
