@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..imagorpath import Params, split_args
+from ..imagorpath import Params, parse, split_args
 from . import codecs, kernels
 
 # ≅ vips processor limits (processor.go:70-73): MaxResolution 81e6 pixels
@@ -69,6 +69,8 @@ class TransformResult:
     out_codec: str = ""
     meta: dict = field(default_factory=dict)
     transcript_suffix: str = ""  # label()/text() analogue appends here
+    request: Params | None = None  # the driving Params (fill/image need W/H)
+    depth: int = 0  # overlay nesting depth (image() recursion guard)
 
 
 def _f(s: str, default: float = 0.0) -> float:
@@ -119,15 +121,22 @@ def _parse_focal_spans(args: str, dur_ms: float, sr: int) -> list[tuple[float, f
     return spans
 
 
+MAX_OVERLAY_DEPTH = 2  # bounded image() nesting (≅ the reference resolves
+# one overlay layer per filter; we allow one level of sub-pipeline nesting)
+
+
 def apply_transformations(
     pcm: np.ndarray,
     sr: int,
     p: Params,
     assets: dict[str, tuple[np.ndarray, int]] | None = None,
+    depth: int = 0,
 ) -> TransformResult:
     """The fixed-order transform pipeline (process.go:596-798)."""
     pcm = kernels._as_2d(pcm)
     res = TransformResult()
+    res.request = p
+    res.depth = depth
 
     # ---- crop ∩ trim against the original timeline (process.go:607-649)
     n0 = pcm.shape[1]
@@ -177,7 +186,12 @@ def apply_transformations(
                 pcm = kernels.resample(pcm, sr, w)
                 sr = w
         else:
-            # contain: never upsample
+            # contain: never upsample — UNLESS the upscale() filter is
+            # present (process.go:684-705 + the Upscale param: fit-in only
+            # upsizes when explicitly asked)
+            if w > 0 and sr < w and any(f.name == "upscale" for f in p.filters):
+                pcm = kernels.resample(pcm, sr, w)
+                sr = w
             if w > 0 and sr > w:
                 pcm = kernels.resample(pcm, sr, w)
                 sr = w
@@ -340,6 +354,47 @@ def _flt_watermark(pcm, sr, args, assets, meta, res):
     return kernels.mix(pcm, over_pcm, offset, alpha, repeat=repeat), sr
 
 
+def _resolve_offset(x: str, base_n: int, over_n: int, sr: int) -> tuple[int, bool]:
+    """Shared watermark/image offset grammar: ms | keywords | 'repeat'."""
+    repeat = x == "repeat"
+    if x == "left" or repeat:
+        return 0, repeat
+    if x == "right":
+        return max(base_n - over_n, 0), False
+    if x == "center":
+        return max((base_n - over_n) // 2, 0), False
+    return kernels.ms_to_samples(_f(x), sr), False
+
+
+def _flt_image(pcm, sr, args, assets, meta, res):
+    """image(spec,x,y,alpha[,blend]) → FULL nested sub-pipeline overlay
+    (filteroverlay.go:15-64 + overlay.go:127-170): ``spec`` is itself an
+    imagor ops path (e.g. ``fit-in/8000x500/beep``) whose image token is
+    resolved from the broadcast asset map, rendered through this very
+    pipeline (bounded depth), then composited with a blend mode
+    (blendModeMap overlay.go:154-170 → mix ops: over/add, multiply≅ring-mod,
+    mask≅gate)."""
+    parts = split_args(args)
+    if not parts or res.depth >= MAX_OVERLAY_DEPTH:
+        return pcm, sr
+    sub = parse(parts[0])
+    asset = assets.get(sub.image)
+    if asset is None:
+        return pcm, sr  # loader miss → skip (imagor.go:399-402 semantics)
+    over_pcm, over_sr = asset
+    sub_res = apply_transformations(over_pcm, over_sr, sub, assets, depth=res.depth + 1)
+    over_pcm, over_sr = sub_res.pcm, sub_res.sr or over_sr
+    if over_sr != sr:
+        over_pcm = kernels.resample(over_pcm, over_sr, sr)
+    x = parts[1] if len(parts) > 1 else "0"
+    alpha = _f(parts[3]) if len(parts) > 3 else 0.0
+    blend = parts[4] if len(parts) > 4 else "over"
+    offset, repeat = _resolve_offset(x, pcm.shape[1], kernels._as_2d(over_pcm).shape[1], sr)
+    if repeat:
+        return kernels.mix(pcm, over_pcm, 0, alpha, repeat=True), sr
+    return kernels.blend_overlay(pcm, over_pcm, offset, alpha, blend), sr
+
+
 def _flt_page(pcm, sr, args, assets, meta, res):
     return kernels.select_channel(pcm, _i(args, 1)), sr
 
@@ -349,11 +404,23 @@ def _flt_max_frames(pcm, sr, args, assets, meta, res):
 
 
 def _flt_label(pcm, sr, args, assets, meta, res):
-    """label(text,...) → transcript-stamp analogue (filteroverlay.go:213-282):
-    text ops act on the transcript column, not the waveform."""
+    """label(text,x,y,size,...) → transcript-stamp analogue
+    (filteroverlay.go:213-282): text ops act on the transcript column, not
+    the waveform. Positional args are honored as stamp annotations —
+    x (position: ms or keyword) as ``@x``, size as ``s{n}`` — so
+    ``label(hi,500,0,12)`` stamps `` [hi@500 s12]`` while the bare form
+    stays `` [hi]``."""
     parts = split_args(args)
-    if parts:
-        res.transcript_suffix += " [" + parts[0] + "]"
+    if not parts:
+        return pcm, sr
+    stamp = parts[0]
+    x = parts[1] if len(parts) > 1 else ""
+    size = parts[3] if len(parts) > 3 else ""
+    if x not in ("", "0"):
+        stamp += f"@{x}"
+    if size not in ("", "0"):
+        stamp += f" s{size}"
+    res.transcript_suffix += " [" + stamp + "]"
     return pcm, sr
 
 
@@ -448,6 +515,34 @@ def _flt_draw_detections(pcm, sr, args, assets, meta, res):
     return pcm, sr
 
 
+def _flt_fill(pcm, sr, args, assets, meta, res):
+    """fill(color|auto|blur|transparent|none) → letterbox the clip to the
+    requested duration box with a pad bed (filteroverlay.go:129-211):
+    silence for colors≅black/none, 100 Hz hum at luminance/-noise-floor
+    level, or a low-passed loop-tiled copy for 'blur'. Runs at its chain
+    position like the reference's FilterMap entry; without a requested
+    duration (H=0) there is no box to fill → no-op."""
+    p = res.request
+    if p is None or p.height <= 0:
+        return pcm, sr
+    mode = split_args(args)[0] if args else ""
+    n_target = kernels.ms_to_samples(p.height, sr)
+    return kernels.letterbox(pcm, n_target, p.h_align, mode, sr), sr
+
+
+def _flt_background_color(pcm, sr, args, assets, meta, res):
+    """background_color(c) → flatten near-silence onto the bed level
+    (filter.go:95-106 flattens alpha onto a color)."""
+    return kernels.flatten_silence(pcm, sr, args or ""), sr
+
+
+def _flt_orient(pcm, sr, args, assets, meta, res):
+    """orient/rotate(deg) → channel permutation for multichannel clips
+    (process.go:514-523, filter.go:108-122; SURVEY §2.2 mapping — mono is
+    the documented no-op degenerate)."""
+    return kernels.rotate_channels(pcm, _f(args)), sr
+
+
 def _noop(pcm, sr, args, assets, meta, res):
     return pcm, sr
 
@@ -478,7 +573,7 @@ FILTER_MAP = {
     "proportion": _flt_proportion,
     "watermark": _flt_watermark,
     "mix": _flt_watermark,  # audio-native alias
-    "image": _flt_watermark,  # overlay ≅ mix (blend=over)
+    "image": _flt_image,  # nested sub-pipeline overlay + blend modes
     "page": _flt_page,
     "max_frames": _flt_max_frames,
     "label": _flt_label,
@@ -500,13 +595,36 @@ FILTER_MAP = {
     "expire": _noop,
     "attachment": _noop,
     "focal": _noop,
-    "upscale": _noop,
-    "fill": _noop,
-    "background_color": _noop,
-    "orient": _noop,  # rotation degenerate for mono audio (SURVEY §2.2)
-    "rotate": _noop,
+    "upscale": _noop,  # consumed by the fit-in resize plane (upsample gate)
+    "fill": _flt_fill,
+    "background_color": _flt_background_color,
+    "orient": _flt_orient,
+    "rotate": _flt_orient,
     "dpi": _noop,
 }
+
+
+def shrink_target_sr(p: Params, src_sr: int) -> int | None:
+    """Shrink-on-load predicate analysis (≅ thumbnailNotSupported,
+    process.go:325-400): when NO op depends on the original-rate timeline,
+    every resize path begins by resampling to exactly ``p.width`` < src_sr —
+    so the decoder may produce that rate directly.
+
+    Disabling conditions (the reference's flag analysis, audio mapping):
+    trim (sample-value dependent at source rate), any crop (boundaries
+    resolved against the pre-resize timeline), full/adaptive fit-in (may
+    upsample / swap dims). smart/focal are SAFE here: they run on the
+    post-resample waveform, which is identical either way."""
+    if p.trim:
+        return None
+    if p.crop_left > 0 or p.crop_top > 0 or p.crop_right > 0 or p.crop_bottom > 0:
+        return None
+    if p.fit_in and (p.full_fit_in or p.adaptive_fit_in):
+        return None
+    w = p.width
+    if w <= 0 or w >= src_sr:
+        return None
+    return w
 
 
 def process(
@@ -517,7 +635,18 @@ def process(
     """Full decode → transform → encode for one row (≅ vipsprocessor.Process,
     process.go:52-184). Returns (out_bytes, meta_dict). Meta mode returns
     b"" bytes + rich meta (process.go:84-133)."""
-    pcm, sr, src_codec = codecs.decode(bytes(blob))
+    blob = bytes(blob)
+    target = None
+    if codecs.sniff(blob) == codecs.CODEC_WAV:
+        info = codecs.wav_header_info(blob)
+        if info is not None:
+            hdr_sr, _hdr_ch, hdr_n = info
+            # bomb guard on SOURCE dims (≅ CheckResolution before decode,
+            # processor.go:506-516) so a shrunk decode can't mask a bomb
+            if hdr_n > MAX_SAMPLES or hdr_sr > MAX_SR_HZ:
+                raise ValueError("resolution bomb: clip exceeds sample/rate limits")
+            target = shrink_target_sr(p, hdr_sr)
+    pcm, sr, src_codec = codecs.decode(blob, target_sr=target)
 
     # resolution-bomb guard (≅ CheckResolution, processor.go:506-516)
     if pcm.shape[1] > MAX_SAMPLES or sr > MAX_SR_HZ:
@@ -526,7 +655,10 @@ def process(
     res = apply_transformations(pcm, sr, p, assets)
     opts = extract_export_opts(p, src_codec)
 
-    meta = dict(res.meta)
+    # strip_metadata/strip_exif/strip_icc (process.go:884-992 opts.Keep):
+    # drop filter-emitted tags (rms/fingerprint/detections) and the
+    # transcript carry-through; only the structural fields survive
+    meta = {} if opts.strip_metadata else dict(res.meta)
     meta.update(
         {
             "codec": opts.codec,
@@ -537,8 +669,12 @@ def process(
             "source_codec": src_codec,
         }
     )
-    if res.transcript_suffix:
+    if res.transcript_suffix and not opts.strip_metadata:
         meta["transcript_suffix"] = res.transcript_suffix
+    if opts.strip_metadata:
+        # signal the engine row-plane to null the transcript column (the
+        # audio analogue of stripping embedded text metadata)
+        meta["_strip_transcript"] = True
 
     if p.meta:
         # meta endpoint: JSON row instead of payload (process.go:84-133)

@@ -107,7 +107,37 @@ def encode_wav(pcm: np.ndarray, sr: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
-def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+def wav_header_info(blob: bytes) -> tuple[int, int, int] | None:
+    """(sr, channels, n_samples) from the RIFF header WITHOUT touching the
+    sample data — the cheap probe shrink-on-load and bomb guards need
+    (≅ reading the source header before thumbnail_source, process.go:325+)."""
+    if blob[:4] != _MAGIC_RIFF or blob[8:12] != b"WAVE":
+        return None
+    pos = 12
+    sr = ch = bits = None
+    data_size = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"fmt ":
+            _, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", blob, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if sr is None or data_size is None or bits != 16:
+        return None
+    n = (data_size // 2) // max(ch, 1)
+    return int(sr), int(ch), int(n)
+
+
+def decode_wav(blob: bytes, target_sr: int | None = None) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 demux. With ``target_sr``, decodes directly at the
+    target rate when that is BIT-EXACT — integer stride k = sr/target with
+    k | n, where ``kernels.resample``'s linear interp lands on exact sample
+    positions (pos = i·k) so strided int16 selection equals full-decode +
+    resample. Otherwise falls back to the full decode (caller resamples) —
+    the shrink-on-load analogue of decode-at-target-size
+    (process.go:325-507), exactness-gated instead of approximate."""
     if blob[:4] != _MAGIC_RIFF or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -131,7 +161,12 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         arr = arr[: (len(arr) // ch) * ch].reshape(-1, ch).T
     else:
         arr = arr[np.newaxis, :]
-    return _from_int16(arr), int(sr)
+    if target_sr and target_sr < sr and sr % target_sr == 0:
+        k = sr // target_sr
+        if arr.shape[1] % k == 0:
+            arr = arr[:, ::k]
+            sr = target_sr
+    return _from_int16(np.ascontiguousarray(arr)), int(sr)
 
 
 # ------------------------------------------------- stand-in containers
@@ -190,11 +225,16 @@ def encode(pcm: np.ndarray, sr: int, codec: str, quality: int | None = None) -> 
     return encode_wav(pcm, sr)
 
 
-def decode(blob: bytes) -> tuple[np.ndarray, int, str]:
-    """Decode container bytes → (pcm [ch, n] float32, sr, codec)."""
+def decode(blob: bytes, target_sr: int | None = None) -> tuple[np.ndarray, int, str]:
+    """Decode container bytes → (pcm [ch, n] float32, sr, codec).
+
+    ``target_sr``: shrink-on-load hint — the WAV path decodes directly at
+    the target when bit-exactness holds (see :func:`decode_wav`); the
+    zlib stand-in containers cannot partially decode (a real flac/ogg
+    decoder would honour it) so they ignore the hint."""
     codec = sniff(bytes(blob))
     if codec == CODEC_WAV:
-        pcm, sr = decode_wav(blob)
+        pcm, sr = decode_wav(blob, target_sr=target_sr)
     elif codec == CODEC_FLAC:
         pcm, sr = _decode_standin(blob, _MAGIC_FLAC, compress=True)
     elif codec == CODEC_OGG:

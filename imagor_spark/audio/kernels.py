@@ -486,3 +486,176 @@ def snr_db(expected: np.ndarray, actual: np.ndarray) -> float:
     if sig == 0:
         return float("-inf")
     return float(10.0 * np.log10(sig / noise))
+
+
+# ---------------------------------------------------- fill / bed kernels
+
+
+_NAMED_LUMINANCE = {
+    "white": 1.0, "black": 0.0, "gray": 0.5, "grey": 0.5,
+    "red": 0.299, "green": 0.587, "blue": 0.114, "yellow": 0.886,
+    "cyan": 0.701, "magenta": 0.413, "silver": 0.75,
+}
+
+
+def color_luminance(c: str) -> float:
+    """Color token → luminance fraction [0,1] (Rec.601 weights for hex,
+    lookup for CSS names) — the bed-level knob for fill/background_color
+    (≅ the fill color parse, filteroverlay.go:150-168)."""
+    c = (c or "").strip().lower().lstrip("#")
+    if c in _NAMED_LUMINANCE:
+        return _NAMED_LUMINANCE[c]
+    if len(c) == 3 and all(ch in "0123456789abcdef" for ch in c):
+        c = "".join(ch * 2 for ch in c)
+    if len(c) == 6 and all(ch in "0123456789abcdef" for ch in c):
+        r, g, b = (int(c[i : i + 2], 16) / 255.0 for i in (0, 2, 4))
+        return 0.299 * r + 0.587 * g + 0.114 * b
+    return 0.0
+
+
+def noise_floor(pcm: np.ndarray, sr: int, win_ms: float = 50.0) -> float:
+    """Quietest-window RMS — the clip's noise floor (the 'auto' bed level,
+    ≅ fill auto's average-color probe, filteroverlay.go:141-149)."""
+    pcm = _as_2d(pcm)
+    n = pcm.shape[1]
+    if n == 0:
+        return 0.0
+    win = max(ms_to_samples(win_ms, sr), 1)
+    n_win = max(n // win, 1)
+    e = (pcm.astype(np.float64) ** 2).mean(axis=0)
+    w_rms = np.sqrt(e[: n_win * win].reshape(n_win, win).mean(axis=1))
+    return float(w_rms.min())
+
+
+# amplitude scale for color beds: full-white = -26 dBFS hum, black = silence
+_BED_FULL_AMP = 0.05
+_BED_HZ = 100.0
+
+
+def make_bed(n: int, sr: int, mode: str, pcm: np.ndarray) -> np.ndarray:
+    """Bed generator for fill/background_color (SURVEY §2.3 mapping:
+    silence / noise-floor hum / low-passed-copy):
+
+    * ``none``/``transparent``/black → silence
+    * ``auto``  → 100 Hz hum at the clip's noise-floor RMS
+    * ``blur``  → low-passed copy of the clip, loop-tiled to length
+    * color name/hex → 100 Hz hum at luminance × -26 dBFS
+    """
+    pcm = _as_2d(pcm)
+    ch = pcm.shape[0]
+    if n <= 0:
+        return np.zeros((ch, 0), dtype=np.float32)
+    mode = (mode or "").strip().lower()
+    if mode == "blur" and pcm.shape[1] > 0:
+        low = gaussian_lowpass(pcm, 5.0, sr)
+        reps = int(np.ceil(n / low.shape[1]))
+        return np.tile(low, (1, reps))[:, :n].astype(np.float32)
+    if mode == "auto":
+        amp = noise_floor(pcm, sr) if pcm.shape[1] else 0.0
+    elif mode in ("", "none", "transparent"):
+        amp = 0.0
+    else:
+        amp = color_luminance(mode) * _BED_FULL_AMP
+    if amp <= 0.0:
+        return np.zeros((ch, n), dtype=np.float32)
+    t = np.arange(n, dtype=np.float64) / max(sr, 1)
+    hum = (amp * np.sqrt(2.0) * np.sin(2 * np.pi * _BED_HZ * t)).astype(np.float32)
+    return np.tile(hum, (ch, 1))
+
+
+def letterbox(pcm: np.ndarray, n_target: int, h_align: str, mode: str, sr: int) -> np.ndarray:
+    """Extend the clip to exactly ``n_target`` samples with a bed
+    (fill letterboxing, filteroverlay.go:129-211). Never cuts — fit-in
+    contain semantics; alignment mirrors :func:`cut_or_pad`."""
+    pcm = _as_2d(pcm)
+    n = pcm.shape[1]
+    if n >= n_target:
+        return pcm
+    deficit = n_target - n
+    if h_align == "left":
+        before, after = 0, deficit
+    elif h_align == "right":
+        before, after = deficit, 0
+    else:
+        before = deficit // 2
+        after = deficit - before
+    return np.concatenate(
+        [make_bed(before, sr, mode, pcm), pcm, make_bed(after, sr, mode, pcm)], axis=1
+    ).astype(np.float32)
+
+
+def flatten_silence(
+    pcm: np.ndarray, sr: int, mode: str, threshold: float = 1e-4, win_ms: float = 10.0
+) -> np.ndarray:
+    """background_color analogue (filter.go:95-106 flattens alpha onto a
+    color): replace sustained silent REGIONS with the bed so transparent
+    regions carry the background level. Silence is judged per window (peak
+    < threshold), not per sample — a waveform's zero-crossings are signal,
+    not background."""
+    pcm = _as_2d(pcm).copy()
+    n = pcm.shape[1]
+    if n == 0:
+        return pcm
+    bed = make_bed(n, sr, mode, pcm)
+    win = max(ms_to_samples(win_ms, sr), 1)
+    n_win = int(np.ceil(n / win))
+    peaks = np.zeros(n_win * win, dtype=np.float32)
+    peaks[:n] = np.abs(pcm).max(axis=0)
+    w_peak = peaks.reshape(n_win, win).max(axis=1)
+    mask = np.repeat(w_peak < threshold, win)[:n]
+    pcm[:, mask] = bed[:, mask]
+    return pcm.astype(np.float32)
+
+
+def rotate_channels(pcm: np.ndarray, degrees: float) -> np.ndarray:
+    """orient/rotate → channel permutation for multichannel audio
+    (SURVEY §2.2: RotMultiPage ≅ roll the channel axis by deg/90; mono is
+    the documented no-op degenerate)."""
+    pcm = _as_2d(pcm)
+    k = int(round(degrees / 90.0)) % 4
+    if pcm.shape[0] < 2 or k == 0:
+        return pcm
+    return np.roll(pcm, k % pcm.shape[0], axis=0)
+
+
+def blend_overlay(
+    base: np.ndarray,
+    over: np.ndarray,
+    offset_samples: int,
+    alpha_pct: float,
+    mode: str = "over",
+) -> np.ndarray:
+    """Blend-mode composite for image()/overlay (blendModeMap,
+    overlay.go:154-170 → mix-op analogues, SURVEY §2.3):
+
+    * ``over``/``add``/'' → mix-add (the watermark path)
+    * ``multiply``       → ring modulation (base × overlay), wet/dry by alpha
+    * ``mask``           → gate: base passes only where the overlay is active
+
+    ``alpha``: 0 = fully applied … 100 = inaudible (imagor alpha polarity).
+    """
+    mode = (mode or "over").strip().lower()
+    if mode in ("", "over", "add", "normal"):
+        return mix(base, over, offset_samples, alpha_pct)
+    base = _as_2d(base).copy()
+    over = _as_2d(over)
+    wet = max(0.0, min(1.0, 1.0 - alpha_pct / 100.0))
+    if wet == 0.0 or over.shape[1] == 0 or base.shape[1] == 0:
+        return base
+    if over.shape[0] != base.shape[0]:
+        over = np.tile(over.mean(axis=0, keepdims=True), (base.shape[0], 1))
+    start = max(offset_samples, 0)
+    skip = max(-offset_samples, 0)
+    length = min(base.shape[1] - start, over.shape[1] - skip)
+    if length <= 0:
+        return base
+    region = base[:, start : start + length]
+    o = over[:, skip : skip + length]
+    if mode == "multiply":
+        blended = region * o
+    elif mode == "mask":
+        blended = region * (np.abs(o) > 0.01)
+    else:  # unknown blend name → over semantics (reference default)
+        return mix(base, over, offset_samples, alpha_pct)
+    base[:, start : start + length] = (1.0 - wet) * region + wet * blended
+    return np.clip(base, -1.0, 1.0).astype(np.float32)

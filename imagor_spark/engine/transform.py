@@ -164,6 +164,9 @@ def make_transform_fn(
                 suffix = meta.pop("transcript_suffix", "")
                 if suffix:
                     out["transcript"][i] = transcripts[i] + suffix
+                if meta.pop("_strip_transcript", False):
+                    # strip_metadata: null the transcript carry-through
+                    out["transcript"][i] = ""
                 out["bytes"][i] = payload
                 out["sr_hz"][i] = meta["sr_hz"]
                 out["dur_ms"][i] = meta["dur_ms"]

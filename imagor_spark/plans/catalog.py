@@ -747,6 +747,74 @@ def q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_blend_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image() overlay plane at data scale (filteroverlay.go:15-64): clips
+    rendered through the FULL pipeline with a nested-sub-pipeline overlay
+    ``image(stretch/8000x250/beep,0,0,0,<blend>)`` under one of 4 blend
+    modes; the rollup (blend × shapes) is doc_id arithmetic for the oracle,
+    while the blend math itself is pinned by SNR pytests."""
+    from ..engine.transform import transform
+    from ..sources.clips import watermark_assets
+    from ..audio import codecs as _codecs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+    blends = ["over", "add", "multiply", "mask"]
+
+    def gen(batches):
+        import numpy as np
+
+        sr, n = 8000, 4000  # 500 ms
+        t = np.arange(n, dtype=np.float64) / sr
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pcm = (0.4 * np.sin(2 * np.pi * (200 + d % 10 * 50) * t)).astype("float32")
+                blend = blends[d % 4]
+                rows.append(
+                    {
+                        "clip_id": f"doc{d}",
+                        "bytes": _codecs.encode(pcm, sr, "wav"),
+                        "sr_hz": sr,
+                        "dur_ms": 500,
+                        "codec": "wav",
+                        "transcript": "",
+                        "ingest_ts": pd.Timestamp("2026-01-01", tz="UTC"),
+                        "ops": f"unsafe/filters:image(stretch/8000x250/beep,0,0,0,{blend})/doc{d}",
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    from ..sources.docs_clips import CLIPS_SCHEMA
+
+    clips = docs.mapInPandas(gen, schema=CLIPS_SCHEMA)
+    res = transform(clips, secret=None, assets=watermark_assets())
+    return (
+        res.filter(res.status == "ok")
+        .groupBy(F.regexp_extract("ops", r"0,0,0,(\w+)\)", 1).alias("blend"))
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+        )
+        .orderBy("blend")
+    )
+
+
+ORACLE_IMAGE_BLENDS = """
+SELECT CASE doc_id % 4 WHEN 0 THEN 'over' WHEN 1 THEN 'add'
+                       WHEN 2 THEN 'multiply' ELSE 'mask' END AS blend,
+       COUNT(*) AS n_clips,
+       CAST(COUNT(*) * 4000 AS BIGINT) AS total_samples
+FROM documents WHERE doc_id < 400
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------- result cache
 
 
@@ -839,6 +907,7 @@ EXTRA_QUERIES = {
     "asof_join": q_asof_join,
     "asof_join_pandas": q_asof_join_pandas,
     "result_cache_antijoin": q_result_cache_antijoin,
+    "image_blend_modes": q_image_blend_modes,
     "events_pivot": q_events_pivot,
     "set_ops": q_set_ops,
     "rollup_revenue": q_rollup_revenue,
@@ -866,6 +935,7 @@ def extra_oracles() -> dict[str, str]:
         "asof_join": ORACLE_ASOF,
         "asof_join_pandas": ORACLE_ASOF,
         "result_cache_antijoin": ORACLE_RESULT_CACHE,
+        "image_blend_modes": ORACLE_IMAGE_BLENDS,
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "set_ops": ORACLE_SET_OPS,
         "rollup_revenue": ORACLE_ROLLUP,

@@ -264,7 +264,11 @@ def test_page_channel_select():
 def test_label_appends_transcript():
     x = tone(dur_s=0.1)
     res = apply_transformations(x, SR, parse("unsafe/filters:label(hello,0,0,12)/img"))
-    assert res.transcript_suffix == " [hello]"
+    assert res.transcript_suffix == " [hello s12]"  # size annotation honored
+    bare = apply_transformations(x, SR, parse("unsafe/filters:label(hello)/img"))
+    assert bare.transcript_suffix == " [hello]"
+    pos = apply_transformations(x, SR, parse("unsafe/filters:label(hi,500,0,12)/img"))
+    assert pos.transcript_suffix == " [hi@500 s12]"
 
 
 # ----------------------------------------------------------------- export
@@ -428,3 +432,175 @@ def test_modulate_three_args():
     # 1-arg form = pure amplitude multiply (NOT dB gain)
     one = apply_transformations(tone(440, 0.2, amp=0.4), SR, parse("unsafe/filters:modulate(25)/img"))
     assert abs(kernels.rms(one.pcm) / kernels.rms(tone(440, 0.2, amp=0.4)) - 1.25) < 1e-3
+
+
+def test_upscale_gates_fit_in_upsampling():
+    """fit-in only upsizes when upscale() is present (process.go:684-705)."""
+    x = tone(dur_s=0.5)
+    plain = apply_transformations(x, SR, parse("unsafe/fit-in/32000x0/img"))
+    assert plain.sr == SR  # contain: never upsample by default
+    up = apply_transformations(x, SR, parse("unsafe/fit-in/32000x0/filters:upscale()/img"))
+    assert up.sr == 32000
+    assert up.pcm.shape[1] == kernels.ms_to_samples(500, 32000)
+
+
+def test_fill_letterbox_modes():
+    """fill() letterboxes fit-in to the requested duration with a pad bed
+    (filteroverlay.go:129-211): silence / hum at color level / noise-floor
+    'auto' / low-passed 'blur' copy."""
+    x = tone(dur_s=1.0)
+    # none → silence bed, exact duration, original centered
+    none = apply_transformations(x, SR, parse("unsafe/fit-in/16000x2000/filters:fill(none)/img"))
+    n_t = kernels.ms_to_samples(2000, SR)
+    assert none.pcm.shape[1] == n_t
+    lead = none.pcm[:, : (n_t - len(x)) // 2]
+    assert kernels.rms(lead) == 0.0
+    # white → -26 dBFS hum bed
+    white = apply_transformations(x, SR, parse("unsafe/fit-in/16000x2000/filters:fill(white)/img"))
+    lead_w = white.pcm[:, : (n_t - len(x)) // 2]
+    assert 0.03 < kernels.rms(lead_w) < 0.07
+    # blur → low-passed copy: bed energy present but less than the clip's
+    blur = apply_transformations(x, SR, parse("unsafe/fit-in/16000x2000/filters:fill(blur)/img"))
+    lead_b = blur.pcm[:, : (n_t - len(x)) // 2]
+    assert 0.0 < kernels.rms(lead_b) < kernels.rms(x)
+    # auto → noise-floor hum (pure tone: floor ≈ tone RMS window min)
+    auto = apply_transformations(x, SR, parse("unsafe/fit-in/16000x2000/filters:fill(auto)/img"))
+    lead_a = auto.pcm[:, : (n_t - len(x)) // 2]
+    assert kernels.rms(lead_a) > 0.0
+    # left align → bed goes after the clip
+    left = apply_transformations(x, SR, parse("unsafe/fit-in/16000x2000/left/filters:fill(white)/img"))
+    assert kernels.rms(left.pcm[:, : len(x)]) > 0.3  # clip first
+    assert 0.03 < kernels.rms(left.pcm[:, len(x):]) < 0.07  # bed after
+
+
+def test_background_color_flattens_silence():
+    x = np.concatenate([np.zeros(SR // 4, np.float32), tone(440, 0.5), np.zeros(SR // 4, np.float32)])
+    out = apply_transformations(x, SR, parse("unsafe/filters:background_color(white)/img"))
+    head = out.pcm[:, : SR // 4]
+    assert 0.03 < kernels.rms(head) < 0.07  # silent region now carries the bed
+    # the signal region is untouched
+    assert kernels.snr_db(x[SR // 4 : SR // 4 + SR // 2], out.pcm[0, SR // 4 : SR // 4 + SR // 2]) > 60
+    black = apply_transformations(x, SR, parse("unsafe/filters:background_color(000)/img"))
+    assert kernels.rms(black.pcm[:, : SR // 4]) == 0.0
+
+
+def test_orient_rotates_channels():
+    x = np.stack([tone(440, 0.2), 0.2 * tone(880, 0.2)])
+    rot = apply_transformations(x, SR, parse("unsafe/filters:rotate(90)/img"))
+    assert np.allclose(rot.pcm[0], x[1]) and np.allclose(rot.pcm[1], x[0])
+    # 180° on stereo rolls by 2 ≡ identity; mono is a no-op
+    same = apply_transformations(x, SR, parse("unsafe/filters:orient(180)/img"))
+    assert np.allclose(same.pcm, x)
+    mono = apply_transformations(tone(440, 0.1), SR, parse("unsafe/filters:rotate(90)/img"))
+    assert mono.pcm.shape[0] == 1
+
+
+def test_image_nested_subpipeline_and_blends():
+    """image(spec,x,y,alpha,blend) renders a FULL nested ops-spec overlay
+    (filteroverlay.go:15-64, overlay.go:127-170) and composites with blend
+    modes (over/add = mix, multiply = ring-mod, mask = gate)."""
+    base = tone(440, 0.5)
+    assets = watermark_assets()  # beep @16k, 0.25s
+
+    # plain over == the watermark mix path
+    over = apply_transformations(base, SR, parse("unsafe/filters:image(beep,0,0,0)/img"), assets)
+    wm = apply_transformations(base, SR, parse("unsafe/filters:watermark(beep,0,0,0)/img"), assets)
+    assert np.allclose(over.pcm, wm.pcm)
+
+    # nested sub-pipeline: beep stretched to exactly 500 ms before the mix
+    nested = apply_transformations(
+        base, SR, parse("unsafe/filters:image(stretch/16000x500/beep,0,0,0)/img"), assets
+    )
+    assert nested.pcm.shape[1] == len(base)
+    assert not np.allclose(nested.pcm, wm.pcm)  # stretched overlay ≠ raw beep
+    # eager oracle: render the sub-spec then mix
+    sub = apply_transformations(assets["beep"][0], 16000, parse("stretch/16000x500/beep"), assets)
+    expect = kernels.mix(base, sub.pcm, 0, 0.0)
+    assert kernels.snr_db(expect, nested.pcm) > 60
+
+    # multiply = ring modulation: 440 Hz x 880 Hz beep → energy moves to
+    # 440±880 sidebands, the 440 fundamental collapses
+    mul = apply_transformations(base, SR, parse("unsafe/filters:image(beep,repeat,0,0,multiply)/img"), assets)
+    # repeat+multiply: repeat falls back to mix; use offset 0 over the beep span
+    mul = apply_transformations(base, SR, parse("unsafe/filters:image(beep,0,0,0,multiply)/img"), assets)
+    n_over = assets["beep"][0].shape[0] if assets["beep"][0].ndim == 1 else assets["beep"][0].shape[1]
+    seg = mul.pcm[0, :n_over].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg))
+    freqs = np.fft.rfftfreq(len(seg), 1 / SR)
+    def bin_at(f):
+        return spec[np.argmin(np.abs(freqs - f))]
+    assert bin_at(1320) > bin_at(440)  # 440+880 sideband dominates fundamental
+
+    # mask = gate: silent overlay region mutes the base
+    gate_overlay = {"gate": (np.concatenate([np.zeros(SR // 8, np.float32), 0.5 * np.ones(SR // 8, np.float32)]), SR)}
+    msk = apply_transformations(base, SR, parse("unsafe/filters:image(gate,0,0,0,mask)/img"), gate_overlay)
+    assert kernels.rms(msk.pcm[:, : SR // 8]) < 1e-6  # gated to silence
+    assert kernels.rms(msk.pcm[:, SR // 8 : SR // 4]) > 0.2  # passes where active
+
+    # bounded depth: self-referencing nested image() terminates
+    deep = apply_transformations(
+        base, SR,
+        parse("unsafe/filters:image(filters:image(filters:image(beep)/beep)/beep)/img"),
+        assets,
+    )
+    assert deep.pcm.shape[1] == len(base)
+
+
+def test_strip_metadata_effect():
+    """strip_metadata() must actually strip (process.go:884-992 opts.Keep):
+    filter-emitted meta tags vanish and the transcript carry is nulled."""
+    x = tone(dur_s=0.2)
+    blob = codecs.encode(x, SR, "wav")
+    _, meta = process(blob, parse("unsafe/meta/filters:avgpower():fingerprint()/img"))
+    assert "rms" in meta and "fingerprint" in meta
+    _, stripped = process(
+        blob, parse("unsafe/meta/filters:avgpower():fingerprint():strip_metadata()/img")
+    )
+    assert "rms" not in stripped and "fingerprint" not in stripped
+    assert stripped["_strip_transcript"] is True
+    assert stripped["sr_hz"] == SR  # structural fields survive
+
+
+def test_shrink_on_load_bit_exact():
+    """Shrink-on-load (process.go:325-507 analogue): when the predicate
+    allows it and stride exactness holds, process() decodes WAV directly at
+    the target rate and the output is BIT-IDENTICAL to full-decode +
+    resample."""
+    sr = 48000
+    x = tone(220, 1.0, sr=sr)  # 48000 samples, divisible by 3
+    blob = codecs.encode(x, sr, "wav")
+    p = parse("unsafe/fit-in/16000x0/img")
+    # decoder-side: strided decode equals full decode + resample exactly
+    dec, dsr, _ = codecs.decode(blob, target_sr=16000)
+    full, fsr, _ = codecs.decode(blob)
+    assert dsr == 16000 and dec.shape[1] == 16000
+    assert np.array_equal(dec, kernels.resample(full, fsr, 16000))
+    # end-to-end: process() output identical with and without the fast path
+    out, meta = process(blob, p)
+    oracle = apply_transformations(full, fsr, p)
+    got, gsr, _ = codecs.decode(out)
+    assert gsr == oracle.sr
+    assert np.array_equal(got, codecs.decode(codecs.encode(oracle.pcm, oracle.sr, "wav"))[0])
+    # non-divisible length falls back to the exact slow path
+    y = tone(220, 1.0, sr=44100)
+    blob2 = codecs.encode(y, 44100, "wav")
+    dec2, dsr2, _ = codecs.decode(blob2, target_sr=16000)
+    assert dsr2 == 44100  # 44100 % 16000 != 0 → full decode
+    out2, _ = process(blob2, p)
+    oracle2 = apply_transformations(dec2, 44100, p)
+    assert np.array_equal(codecs.decode(out2)[0], codecs.decode(codecs.encode(oracle2.pcm, oracle2.sr, "wav"))[0])
+
+
+def test_shrink_predicate_analysis():
+    """The thumbnailNotSupported-style flag analysis: orig-timeline ops
+    disable the decoder-side downsample."""
+    from imagor_spark.audio.apply import shrink_target_sr
+
+    assert shrink_target_sr(parse("unsafe/fit-in/16000x0/i"), 48000) == 16000
+    assert shrink_target_sr(parse("unsafe/stretch/8000x500/i"), 48000) == 8000
+    assert shrink_target_sr(parse("unsafe/16000x500/smart/i"), 48000) == 16000
+    assert shrink_target_sr(parse("unsafe/trim/fit-in/16000x0/i"), 48000) is None
+    assert shrink_target_sr(parse("unsafe/100x0:900x0/fit-in/16000x0/i"), 48000) is None
+    assert shrink_target_sr(parse("unsafe/full-fit-in/16000x0/i"), 48000) is None
+    assert shrink_target_sr(parse("unsafe/fit-in/96000x0/i"), 48000) is None  # upsample
+    assert shrink_target_sr(parse("unsafe/i"), 48000) is None  # no resize

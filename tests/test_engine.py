@@ -156,3 +156,16 @@ def test_secure_default_rejects_unsafe_when_signer_configured(spark):
     assert transform(df, secret=SECRET, allow_unsafe=True).first()["status"] == "ok"
     # no signer configured → unsafe is the only mode, passes
     assert transform(df, secret=None).first()["status"] == "ok"
+
+
+def test_strip_metadata_nulls_transcript(spark):
+    import pandas as pd
+
+    row = make_row(42, 3)
+    row["ops"] = "unsafe/filters:strip_metadata()/clip00000003"
+    plain = dict(row, ops="unsafe/clip00000003", clip_id="clipplain")
+    df = spark.createDataFrame(pd.DataFrame([row, plain]))
+    out = {r["clip_id"]: r for r in transform(df, secret=None).collect()}
+    assert out[row["clip_id"]]["status"] == "ok"
+    assert out[row["clip_id"]]["transcript"] == ""  # stripped
+    assert out["clipplain"]["transcript"] == row["transcript"]  # untouched
