@@ -29,6 +29,20 @@ def token_count(col: str = "text") -> Column:
     return F.size(F.split(F.trim(F.col(col)), "\\s+")).alias("n_tokens")
 
 
+# BPE-ish pre-tokenizer (GPT-2-style split classes, simplified to the
+# portable subset shared by Java regex and DuckDB RE2): a "subword seed" is
+# a letter run, digit run, or symbol run, each with an optional leading
+# space. Counts approximate BPE token counts within ~10-20%.
+BPE_SEED_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def subword_count(col: str = "text") -> Column:
+    """BPE-ish token count via the pre-tokenizer regex (JVM regexp_count —
+    stays in codegen; the whitespace count underestimates tokens for
+    punctuation-heavy text, this is the training-budget estimator)."""
+    return F.regexp_count(F.col(col), F.lit(BPE_SEED_PATTERN)).alias("n_subwords")
+
+
 def char_classes(col: str = "text") -> list[Column]:
     """Length / punctuation / digit / uppercase counts via regexp strips —
     the quality-score raw features."""

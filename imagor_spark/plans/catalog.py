@@ -23,11 +23,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import char_classes, doc_fingerprint, quality_score, token_count
+    from ..functions.text import (
+        char_classes,
+        doc_fingerprint,
+        quality_score,
+        subword_count,
+        token_count,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
-        "doc_id", token_count(), *char_classes(), quality_score(), doc_fingerprint()
+        "doc_id",
+        token_count(),
+        subword_count(),
+        *char_classes(),
+        quality_score(),
+        doc_fingerprint(),
     )
 
 
@@ -35,6 +46,7 @@ ORACLE_TEXT_STATS = r"""
 SELECT
   doc_id,
   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+  len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_subwords,
   length(text) AS n_chars,
   length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
@@ -158,6 +170,79 @@ WITH norm AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b USING (band, bucket)
 WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → exact-Jaccard verification stage (the candidate-rerank step of
+    the dedup plane): every banded-LSH candidate pair gets its exact
+    k-shingle Jaccard via a shingle equi-join. Emitted as ppm (floor of
+    ×1e6) so both engines compare integers, no float rounding ties."""
+    from ..functions.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures_fused,
+        shingles,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    sig = minhash_signatures_fused(docs, "text", k=3, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, bands=4)
+    out = jaccard_pairs(shingles(docs, "text", k=3), pairs)
+    denom = F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    return (
+        out.select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "size_a",
+            "size_b",
+            F.floor(F.col("n_inter") * F.lit(1e6) / denom).cast("long").alias("jaccard_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_JACCARD = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i)
+  WHERE length(array_to_string(toks[i : i + 2], ' ')) > 0
+), sig AS (
+  SELECT doc_id,
+         min(md5(shingle || '#0')) AS h0, min(md5(shingle || '#1')) AS h1,
+         min(md5(shingle || '#2')) AS h2, min(md5(shingle || '#3')) AS h3,
+         min(md5(shingle || '#4')) AS h4, min(md5(shingle || '#5')) AS h5,
+         min(md5(shingle || '#6')) AS h6, min(md5(shingle || '#7')) AS h7
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1
+), inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, za.c AS size_a, zb.c AS size_b,
+       CAST(FLOOR(i.n_inter * 1e6 / (za.c + zb.c - i.n_inter)) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
 ORDER BY doc_a, doc_b
 """
 
@@ -747,6 +832,47 @@ def q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader/storage routing at data scale (s3routerloader router.go:41-150
+    + httploader allowed-sources): synthetic source URLs keyed by doc_id are
+    routed by prefix (first match wins) and gated by an allowlist; the
+    (store × status) rollup is doc_id arithmetic. Pure codegen — zero joins
+    on the stream side."""
+    from ..sources.router import Route, resolve_sources
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    src = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("cdn-a/media/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("cdn-b/media/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("uploads/raw/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("evil.example/"), F.col("doc_id"))),
+    )
+    routes = [
+        Route("cdn-a/", "store-a"),
+        Route("cdn-b/", "store-b"),
+        Route("uploads/", "store-uploads"),
+        Route("evil.example/", "store-a"),  # routed but NOT allowed
+    ]
+    allowed = ["cdn-a/*", "cdn-b/*", "uploads/*"]
+    out = resolve_sources(src, routes, allowed)
+    return (
+        out.groupBy("store", "source_status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("store", "source_status")
+    )
+
+
+ORACLE_SOURCE_ROUTER = """
+SELECT CASE doc_id % 4 WHEN 0 THEN 'store-a' WHEN 1 THEN 'store-b'
+                       WHEN 2 THEN 'store-uploads' ELSE 'store-a' END AS store,
+       CASE WHEN doc_id % 4 = 3 THEN 'source_blocked' ELSE 'ok' END AS source_status,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_image_blend_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """image() overlay plane at data scale (filteroverlay.go:15-64): clips
     rendered through the FULL pipeline with a nested-sub-pipeline overlay
@@ -908,6 +1034,8 @@ EXTRA_QUERIES = {
     "asof_join_pandas": q_asof_join_pandas,
     "result_cache_antijoin": q_result_cache_antijoin,
     "image_blend_modes": q_image_blend_modes,
+    "source_router": q_source_router,
+    "jaccard_verify": q_jaccard_verify,
     "events_pivot": q_events_pivot,
     "set_ops": q_set_ops,
     "rollup_revenue": q_rollup_revenue,
@@ -936,6 +1064,8 @@ def extra_oracles() -> dict[str, str]:
         "asof_join_pandas": ORACLE_ASOF,
         "result_cache_antijoin": ORACLE_RESULT_CACHE,
         "image_blend_modes": ORACLE_IMAGE_BLENDS,
+        "source_router": ORACLE_SOURCE_ROUTER,
+        "jaccard_verify": ORACLE_JACCARD,
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "set_ops": ORACLE_SET_OPS,
         "rollup_revenue": ORACLE_ROLLUP,

@@ -169,3 +169,29 @@ def test_strip_metadata_nulls_transcript(spark):
     assert out[row["clip_id"]]["status"] == "ok"
     assert out[row["clip_id"]]["transcript"] == ""  # stripped
     assert out["clipplain"]["transcript"] == row["transcript"]  # untouched
+
+
+def test_source_router_and_allowlist(spark):
+    """Prefix routing (first match wins, router.go:41-150) + allowed-sources
+    gate (httploader): decisions are codegen column ops, no join/shuffle."""
+    from imagor_spark.sources.router import Route, resolve_sources
+
+    df = spark.createDataFrame(
+        [("cdn-a/x",), ("cdn-a/deeper/y",), ("uploads/z",), ("evil.example/w",), ("nowhere/q",)],
+        "source string",
+    )
+    routes = [Route("cdn-a/", "a"), Route("cdn-a/deeper/", "NEVER"), Route("uploads/", "up")]
+    out = resolve_sources(df, routes, allowed=["cdn-a/*", "uploads/*"])
+    rows = {r["source"]: (r["store"], r["source_status"]) for r in out.collect()}
+    assert rows["cdn-a/x"] == ("a", "ok")
+    assert rows["cdn-a/deeper/y"] == ("a", "ok")  # FIRST match wins, not best
+    assert rows["uploads/z"] == ("up", "ok")
+    assert rows["evil.example/w"][1] == "source_blocked"
+    # not on the allowlist either → blocked wins over not_found
+    assert rows["nowhere/q"] == (None, "source_blocked")
+    # with no allowlist configured, everything is allowed → unrouted = not_found
+    open_rows = {r["source"]: r["source_status"] for r in resolve_sources(df, routes).collect()}
+    assert open_rows["nowhere/q"] == "not_found"
+    assert open_rows["evil.example/w"] == "not_found"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
