@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..imagorpath import Params, parse, split_args
+from ..imagorpath import Params, has_cache_bypass, parse, split_args
 from . import codecs, kernels
 
 # ≅ vips processor limits (processor.go:70-73): MaxResolution 81e6 pixels
@@ -50,6 +50,7 @@ MAX_SAMPLES = 81_000_000
 MAX_SR_HZ = 192_000
 MAX_DUR_MS = 3_600_000
 MAX_FILTER_OPS = 64  # ≅ MaxFilterOps cap (process.go:761-796)
+DECODE_CACHE_MAX = 128  # decoded-source cache entries per executor (cache.go:37-163)
 
 
 @dataclass
@@ -631,10 +632,17 @@ def process(
     blob: bytes,
     p: Params,
     assets: dict[str, tuple[np.ndarray, int]] | None = None,
+    decode_cache: "dict | None" = None,
 ) -> tuple[bytes, dict]:
     """Full decode → transform → encode for one row (≅ vipsprocessor.Process,
     process.go:52-184). Returns (out_bytes, meta_dict). Meta mode returns
-    b"" bytes + rich meta (process.go:84-133)."""
+    b"" bytes + rich meta (process.go:84-133).
+
+    ``decode_cache``: optional executor-local decoded-source cache keyed by
+    (payload md5, shrink target) — ≅ the reference's in-memory source cache
+    (cache.go:37-163) with the HasCacheBypass rules (params.go:87-106):
+    bypassing ops never read or populate it. Cached arrays are marked
+    read-only; every kernel copies before mutating."""
     blob = bytes(blob)
     target = None
     if codecs.sniff(blob) == codecs.CODEC_WAV:
@@ -646,7 +654,21 @@ def process(
             if hdr_n > MAX_SAMPLES or hdr_sr > MAX_SR_HZ:
                 raise ValueError("resolution bomb: clip exceeds sample/rate limits")
             target = shrink_target_sr(p, hdr_sr)
-    pcm, sr, src_codec = codecs.decode(blob, target_sr=target)
+    cache_key = None
+    if decode_cache is not None and not has_cache_bypass(p):
+        import hashlib
+
+        cache_key = (hashlib.md5(blob).digest(), target or 0)
+    hit = decode_cache.get(cache_key) if cache_key is not None else None
+    if hit is not None:
+        pcm, sr, src_codec = hit
+    else:
+        pcm, sr, src_codec = codecs.decode(blob, target_sr=target)
+        if cache_key is not None:
+            pcm.setflags(write=False)
+            decode_cache[cache_key] = (pcm, sr, src_codec)
+            if len(decode_cache) > DECODE_CACHE_MAX:
+                decode_cache.pop(next(iter(decode_cache)))
 
     # resolution-bomb guard (≅ CheckResolution, processor.go:506-516)
     if pcm.shape[1] > MAX_SAMPLES or sr > MAX_SR_HZ:

@@ -96,6 +96,11 @@ class _OpsCache:
         return out
 
 
+# executor-local decoded-source cache (≅ cache.go:37-163): one per Python
+# worker process, shared across batches; bounded, bypass-rule aware
+_DECODE_CACHE: dict = {}
+
+
 def make_transform_fn(
     secret: str | None,
     assets: dict[str, tuple[np.ndarray, int]] | None = None,
@@ -103,6 +108,7 @@ def make_transform_fn(
     truncate: int = 0,
     now_ms: int | None = None,
     allow_unsafe: bool | None = None,
+    use_decode_cache: bool = True,
 ):
     """Build the mapInPandas function. ``assets`` may be a plain dict or a
     Spark Broadcast (unwrapped lazily on the executor).
@@ -152,7 +158,10 @@ def make_transform_fn(
                     out["status"][i] = reject
                     continue
                 try:
-                    payload, meta = audio_apply.process(blobs[i], p, asset_map)
+                    payload, meta = audio_apply.process(
+                        blobs[i], p, asset_map,
+                        decode_cache=_DECODE_CACHE if use_decode_cache else None,
+                    )
                 except NotImplementedError:
                     out["status"][i] = STATUS_DECODE_ERROR
                     continue

@@ -146,3 +146,36 @@ def ivf_assign(
     return df.withColumn(
         "ivf_cell", F.array_position(dists, F.array_min(dists)) - 1
     )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.2,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector leg of the dedup
+    plane: random-hyperplane LSH bucketing prunes the O(n²) pair space to
+    same-bucket candidates (equi-join on the sign-bit bucket, NO cross
+    join), then an exact cosine rerank keeps pairs ≥ threshold (compared on
+    round-6 values so any IEEE-identical engine reproduces the set).
+
+    Same scale shape as the MinHash LSH join: merge-hinted self-join so the
+    bucketing lineage is planned once (ReusedExchange) — the only viable
+    plan at billions of vectors, where neither side broadcasts."""
+    b = lsh_bucket(df, dim, n_planes, vec_col).select(
+        F.col(id_col), F.col(vec_col), "lsh_bucket"
+    )
+    a_side = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+    ).hint("merge")
+    b_side = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+    ).hint("merge")
+    pairs = a_side.join(b_side, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

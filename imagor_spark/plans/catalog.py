@@ -65,7 +65,8 @@ FROM documents
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import lang_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 20 regexp splits per row — spread the single-file scan (see _docs_spread)
+    docs = _docs_spread(spark, sf_dir)
     return (
         docs.select("doc_id", lang_id())
         .groupBy("lang_pred")
@@ -326,6 +327,47 @@ FROM (
   FROM embeddings WHERE vec_id != 0
 ) ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucket join +
+    exact rerank; per-bucket pair counts above threshold. The oracle
+    replicates the md5-deterministic hyperplanes as SQL array literals, so
+    the bucket assignment AND the cosine rerank are engine-portable."""
+    from ..functions.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dups(emb, dim=64, threshold=0.2, n_planes=4)
+    # compare id PAIRS only: raw cosines differ between engines at ~1e-6
+    # (float32 inputs, different summation order); the 0.2 threshold has a
+    # verified 3e-5 margin at sf0.01 so the membership SET is engine-stable
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def oracle_embedding_near_dups() -> str:
+    from ..functions.similarity import _hyperplane
+
+    planes = [_hyperplane(64, s) for s in range(4)]
+    lits = ", ".join(
+        "[" + ", ".join(f"{v!r}" for v in p) + "]::DOUBLE[]" for p in planes
+    )
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], p[{i + 1}]) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH planes AS (SELECT [{lits}] AS p),
+    bucketed AS (
+      SELECT vec_id, embedding, {bits} AS bucket
+      FROM embeddings, planes
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a JOIN bucketed b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.2
+    ORDER BY id_a, id_b
+    """
 
 
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,6 +1078,7 @@ EXTRA_QUERIES = {
     "image_blend_modes": q_image_blend_modes,
     "source_router": q_source_router,
     "jaccard_verify": q_jaccard_verify,
+    "embedding_near_dups": q_embedding_near_dups,
     "events_pivot": q_events_pivot,
     "set_ops": q_set_ops,
     "rollup_revenue": q_rollup_revenue,
@@ -1066,6 +1109,7 @@ def extra_oracles() -> dict[str, str]:
         "image_blend_modes": ORACLE_IMAGE_BLENDS,
         "source_router": ORACLE_SOURCE_ROUTER,
         "jaccard_verify": ORACLE_JACCARD,
+        "embedding_near_dups": oracle_embedding_near_dups(),
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "set_ops": ORACLE_SET_OPS,
         "rollup_revenue": ORACLE_ROLLUP,

@@ -604,3 +604,33 @@ def test_shrink_predicate_analysis():
     assert shrink_target_sr(parse("unsafe/full-fit-in/16000x0/i"), 48000) is None
     assert shrink_target_sr(parse("unsafe/fit-in/96000x0/i"), 48000) is None  # upsample
     assert shrink_target_sr(parse("unsafe/i"), 48000) is None  # no resize
+
+
+def test_decoded_source_cache_and_bypass():
+    """Executor-local decoded-source cache (≅ cache.go:37-163): identical
+    payloads decode once; HasCacheBypass ops (crop/trim plane) never read
+    or populate it; cached hits produce identical output."""
+    x = tone(440, 0.5)
+    blob = codecs.encode(x, SR, "wav")
+    cache = {}
+    p = parse("unsafe/fit-in/8000x0/img")
+    out1, _ = process(blob, p, decode_cache=cache)
+    assert len(cache) == 1
+    calls = {"n": 0}
+    orig = codecs.decode
+
+    def counting(b, target_sr=None):
+        calls["n"] += 1
+        return orig(b, target_sr=target_sr)
+
+    codecs.decode = counting
+    try:
+        out2, _ = process(blob, p, decode_cache=cache)
+        assert calls["n"] == 0  # cache hit: no decode
+        assert out2 == out1
+        # bypassing ops (manual crop ⇒ HasCacheBypass) skip the cache
+        pc = parse("unsafe/100x0:400x0/img")
+        process(blob, pc, decode_cache=cache)
+        assert calls["n"] == 1 and len(cache) == 1
+    finally:
+        codecs.decode = orig
