@@ -409,18 +409,17 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream: transform → tumbling 10-min windows × out-codec, complete
     mode → memory sink. The DuckDB oracle predicts the same rollup by
     arithmetic — a hash-checked STREAMING correctness gate."""
-    from ..sources.docs_clips import clips_from_documents
     from ..engine.transform import make_transform_fn, OUTPUT_SCHEMA
+    from ..sources.docs_clips import CLIPS_SCHEMA, cached_clips, clips_cache_dir
 
+    # share the one materialized derived-clips table (cached_clips) and
+    # point the stream source at its parquet dir — the derivation is paid
+    # once per sf_dir across ALL audio queries, batch and streaming
+    cached_clips(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    cache_dir = os.path.join(tempfile.gettempdir(), f"imagor_stream_{tag}")
-    marker = os.path.join(cache_dir, "_done")
-    if not os.path.exists(marker):
-        clips_from_documents(spark, sf_dir).write.mode("overwrite").parquet(cache_dir + "/in")
-        open(marker, "w").close()
-    from ..sources.docs_clips import CLIPS_SCHEMA
-
-    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(cache_dir + "/in")
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
+        os.path.join(clips_cache_dir(sf_dir), "data")
+    )
     fn = make_transform_fn("1234", allow_unsafe=True)
     res = stream.mapInPandas(fn, schema=OUTPUT_SCHEMA).withWatermark("ingest_ts", "5 minutes")
     agg = (
@@ -528,7 +527,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_ids → decode (stub) → features. Rows-only (RNG not in SQL)."""
     from ..functions.multimodal import encode_fake_image, image_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs_spread(spark, sf_dir).select("doc_id")
 
     def gen(batches):
         for pdf in batches:

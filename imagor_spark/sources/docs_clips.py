@@ -95,6 +95,15 @@ def clips_from_documents(spark, sf_dir: str):
     return docs.mapInPandas(gen, schema=CLIPS_SCHEMA)
 
 
+def clips_cache_dir(sf_dir: str) -> str:
+    """Canonical location of the materialized derived-clips table."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return os.path.join(tempfile.gettempdir(), f"imagor_clips_{tag}")
+
+
 def cached_clips(spark, sf_dir: str):
     """Materialize the derived clips table ONCE per sf_dir (marker-guarded
     tempdir parquet) and read it back — the derivation (synth + encode per
@@ -103,10 +112,8 @@ def cached_clips(spark, sf_dir: str):
     query). At real scale the input is an existing table; this cache only
     exists because the sandbox derives its input from documents.parquet."""
     import os
-    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    cache_dir = os.path.join(tempfile.gettempdir(), f"imagor_clips_{tag}")
+    cache_dir = clips_cache_dir(sf_dir)
     marker = os.path.join(cache_dir, "_done")
     if not os.path.exists(marker):
         clips_from_documents(spark, sf_dir).write.mode("overwrite").parquet(

@@ -195,3 +195,31 @@ def test_source_router_and_allowlist(spark):
     assert open_rows["evil.example/w"] == "not_found"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_upload_ingestion(spark):
+    """UploadLoader analogue: raw bytes → validated clips rows; unknown
+    containers / oversized payloads quarantined before the pipeline."""
+    import numpy as np
+
+    from imagor_spark.sources.upload import ingest_uploads
+
+    pcm = (0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(np.float32)
+    wav = codecs.encode(pcm, 8000, "wav")
+    clips, bad = ingest_uploads(
+        spark,
+        [
+            ("up1", wav, "hello"),
+            ("up2", b"not audio at all", ""),
+            ("up3", wav * 3, ""),  # concatenated garbage still sniffs as wav
+        ],
+        max_bytes=len(wav) * 2,
+    )
+    rows = {r["clip_id"]: r for r in clips.collect()}
+    assert rows["up1"]["codec"] == "wav" and rows["up1"]["sr_hz"] == 8000
+    assert rows["up1"]["dur_ms"] == 1000
+    badrows = {r["clip_id"]: r["reason"] for r in bad.collect()}
+    assert badrows == {"up2": "unsupported", "up3": "too_large"}
+    # ingested rows run through the real pipeline
+    out = transform(clips, secret=None)
+    assert out.filter(out.status == "ok").count() == 1

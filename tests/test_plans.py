@@ -1,0 +1,88 @@
+"""Plan-shape regression guards — the properties that make the engine
+survive 100 TB are asserted on the PHYSICAL PLAN, not just on results:
+no explode before the dedup join, no Python in the column planes, scans
+pruned and filters pushed, exchanges reused instead of recomputed."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_signature_plan_is_one_narrow_projection(spark, docs):
+    from imagor_spark.functions.dedup import minhash_signatures_fused
+
+    sig = minhash_signatures_fused(docs, "text", k=3, n_hashes=8)
+    plan = _plan(sig)
+    assert "Generate" not in plan  # no explode — per-row HOF signatures
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # zero shuffle before the band join
+
+
+def test_simhash_plan_is_one_narrow_projection(spark, docs):
+    from imagor_spark.functions.dedup import simhash
+
+    plan = _plan(simhash(docs, "text", bits=32))
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_join_reuses_signature_exchange(spark, docs):
+    from imagor_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures_fused
+
+    sig = minhash_signatures_fused(docs, "text", k=3, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, bands=4)
+    pairs.collect()  # materialize so AQE settles the final plan
+    plan = _plan(pairs)
+    assert "SortMergeJoin" in plan  # the only viable 100 TB join shape
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the identical banding lineage must be planned ONCE
+    assert "ReusedExchange" in plan, plan
+
+
+def test_q1_scan_pushes_filter_and_prunes_columns(spark):
+    import __spark_entry__ as e
+
+    df = e.q1_pricing_summary(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruning reached the scan: untouched wide columns absent
+    assert "l_comment" not in plan
+    assert "l_shipinstruct" not in plan
+
+
+def test_router_plane_is_pure_codegen(spark, docs):
+    from imagor_spark.sources.router import Route, resolve_sources
+
+    out = resolve_sources(
+        docs.selectExpr("cast(doc_id as string) as source"),
+        [Route("1", "a"), Route("2", "b")],
+        allowed=["1*", "2*", "3*"],
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan and "Join" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
+    assert "*(1)" in plan
+
+
+def test_embedding_near_dup_join_shape(spark):
+    from imagor_spark.functions.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_near_dups(emb, dim=64, threshold=0.2, n_planes=4)
+    pairs.collect()
+    plan = _plan(pairs)
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
