@@ -326,10 +326,12 @@ def _flt_proportion(pcm, sr, args, assets, meta, res):
 
 
 def _flt_watermark(pcm, sr, args, assets, meta, res):
-    """watermark(asset,x,y,alpha[,...]) → mix-add overlay clip
+    """watermark(asset,x,y,alpha[,w%,h%]) → mix-add overlay clip
     (filteroverlay.go:66-127). x: offset ms | 'repeat' | keywords
-    left/center/right; alpha: 0 opaque … 100 silent. Asset is resolved from
-    the broadcast asset map (≅ the loader callback, imagor.go:399-402)."""
+    left/center/right; alpha: 0 opaque … 100 silent; w% scales the overlay
+    to that percentage of the BASE duration (the reference's ratio-resize
+    of the watermark against the parent dims). Asset is resolved from the
+    broadcast asset map (≅ the loader callback, imagor.go:399-402)."""
     parts = split_args(args)
     if not parts:
         return pcm, sr
@@ -341,6 +343,10 @@ def _flt_watermark(pcm, sr, args, assets, meta, res):
         over_pcm = kernels.resample(over_pcm, over_sr, sr)
     x = parts[1] if len(parts) > 1 else "0"
     alpha = _f(parts[3]) if len(parts) > 3 else 0.0
+    w_pct = _f(parts[4]) if len(parts) > 4 else 0.0
+    if w_pct > 0:
+        n_target = int(round(pcm.shape[1] * min(w_pct, 100.0) / 100.0))
+        over_pcm = kernels.stretch_to_samples(kernels._as_2d(over_pcm), n_target)
     repeat = x == "repeat"
     if x == "left":
         offset = 0

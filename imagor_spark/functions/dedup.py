@@ -152,6 +152,23 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_pairs_pruned(
+    docs: DataFrame, pairs: DataFrame, col: str = "text", k: int = 3
+) -> DataFrame:
+    """Candidate-pruned exact-Jaccard verification — the 100 TB shape:
+    shingles are EXPLODED ONLY for docs that appear in a candidate pair
+    (left-semi prune BEFORE the explode; LSH keeps candidates ≪ corpus),
+    instead of materializing the full corpus shingle table the verification
+    join will mostly discard. Values identical to the unpruned path."""
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(cand, "doc_id", "left_semi")
+    return jaccard_pairs(shingles(pruned, col, k), pairs)
+
+
 def jaccard_pairs(
     sh: DataFrame, pairs: DataFrame
 ) -> DataFrame:

@@ -181,16 +181,15 @@ def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-shingle Jaccard via a shingle equi-join. Emitted as ppm (floor of
     ×1e6) so both engines compare integers, no float rounding ties."""
     from ..functions.dedup import (
-        jaccard_pairs,
+        jaccard_pairs_pruned,
         lsh_candidate_pairs,
         minhash_signatures_fused,
-        shingles,
     )
 
     docs = _docs_spread(spark, sf_dir)
     sig = minhash_signatures_fused(docs, "text", k=3, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, n_hashes=8, bands=4)
-    out = jaccard_pairs(shingles(docs, "text", k=3), pairs)
+    out = jaccard_pairs_pruned(docs, pairs, "text", k=3)
     denom = F.col("size_a") + F.col("size_b") - F.col("n_inter")
     return (
         out.select(

@@ -634,3 +634,19 @@ def test_decoded_source_cache_and_bypass():
         assert calls["n"] == 1 and len(cache) == 1
     finally:
         codecs.decode = orig
+
+
+def test_watermark_ratio_resize():
+    """watermark(asset,x,y,alpha,w%) scales the overlay to w% of the base
+    duration before the mix (the reference's ratio resize against parent
+    dims, filteroverlay.go:66-127)."""
+    base = tone(440, 1.0)
+    assets = watermark_assets()  # beep: 0.25 s @ 16 kHz
+    half = apply_transformations(base, SR, parse("unsafe/filters:watermark(beep,0,0,0,50)/img"), assets)
+    plain = apply_transformations(base, SR, parse("unsafe/filters:watermark(beep,0,0,0)/img"), assets)
+    n_beep = assets["beep"][0].shape[0]
+    # plain: overlay ends at 0.25 s; scaled: audible through 0.5 s
+    seg = slice(int(0.3 * SR), int(0.45 * SR))
+    assert not np.allclose(half.pcm[0, seg], base[seg])  # overlay present
+    assert np.allclose(plain.pcm[0, seg], base[seg])  # plain overlay ended
+    assert half.pcm.shape[1] == len(base)

@@ -41,6 +41,9 @@ def test_simhash_plan_is_one_narrow_projection(spark, docs):
 def test_lsh_join_reuses_signature_exchange(spark, docs):
     from imagor_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures_fused
 
+    # hermetic: a cached `documents` table from other tests substitutes an
+    # InMemoryRelation into this plan and defeats exchange-reuse matching
+    spark.catalog.clearCache()
     sig = minhash_signatures_fused(docs, "text", k=3, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, n_hashes=8, bands=4)
     pairs.collect()  # materialize so AQE settles the final plan
