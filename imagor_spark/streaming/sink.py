@@ -134,23 +134,59 @@ class IdempotentSink:
         # atomic commit marker LAST
         tmp = self._marker(batch_id) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "wall_s": round(time.time() - t0, 3)}, f)
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "wall_s": round(time.time() - t0, 3),
+                    "committed_at_ms": int(time.time() * 1000),
+                },
+                f,
+            )
         os.replace(tmp, self._marker(batch_id))
 
     # ---- reader side: only committed batches are visible
 
-    def committed_batches(self) -> list[int]:
+    def committed_batches(
+        self, max_age_ms: int | None = None, now_ms: int | None = None
+    ) -> list[int]:
+        """Committed batch ids; with ``max_age_ms``, expired batches are
+        filtered out on READ (≅ the expiration check on Get,
+        filestorage.go:64-76 + getTtl imagor.go:991-1003) — an expired
+        result behaves like a cache miss, so the anti-join re-renders it."""
         try:
-            return sorted(int(x) for x in os.listdir(self.commits_dir) if not x.endswith(".tmp"))
+            ids = sorted(
+                int(x) for x in os.listdir(self.commits_dir) if not x.endswith(".tmp")
+            )
         except FileNotFoundError:
             return []
+        if max_age_ms is None:
+            return ids
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        fresh = []
+        for b in ids:
+            try:
+                with open(self._marker(b)) as f:
+                    meta = json.load(f)
+                if now - meta.get("committed_at_ms", 0) <= max_age_ms:
+                    fresh.append(b)
+            except (OSError, ValueError):
+                continue
+        return fresh
 
-    def _committed_paths(self, base: str, prefix: str) -> list[str]:
-        paths = [os.path.join(base, f"{prefix}{b}") for b in self.committed_batches()]
+    def _committed_paths(
+        self, base: str, prefix: str, max_age_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> list[str]:
+        batches = self.committed_batches(max_age_ms=max_age_ms, now_ms=now_ms)
+        paths = [os.path.join(base, f"{prefix}{b}") for b in batches]
         return [p for p in paths if os.path.exists(p)]
 
-    def read_committed(self, spark) -> DataFrame:
-        paths = self._committed_paths(self.data_dir, "batch_id=")
+    def read_committed(
+        self, spark, max_age_ms: int | None = None, now_ms: int | None = None
+    ) -> DataFrame:
+        paths = self._committed_paths(
+            self.data_dir, "batch_id=", max_age_ms=max_age_ms, now_ms=now_ms
+        )
         if not paths:
             raise FileNotFoundError("no committed batches")
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
@@ -161,11 +197,17 @@ class IdempotentSink:
     def read_metrics(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.metrics_dir, "batch-*"))
 
-    def read_rendered_keys(self, spark) -> DataFrame:
+    def read_rendered_keys(
+        self, spark, max_age_ms: int | None = None, now_ms: int | None = None
+    ) -> DataFrame:
         """Committed result-cache index: DataFrame[result_key] (distinct per
         batch; dedup across batches happens in the anti-join). Empty frame
-        when nothing is committed yet."""
-        paths = self._committed_paths(self.rendered_dir, "batch-")
+        when nothing is committed yet. ``max_age_ms`` expires old batches —
+        their keys drop out of the index and the anti-join re-renders them
+        (result-cache TTL, getTtl imagor.go:991-1003)."""
+        paths = self._committed_paths(
+            self.rendered_dir, "batch-", max_age_ms=max_age_ms, now_ms=now_ms
+        )
         if not paths:
             return spark.createDataFrame([], "result_key string")
         return spark.read.parquet(*paths).select("result_key")

@@ -268,3 +268,31 @@ def test_stateful_running_totals_resume(spark, dirs):
     for codec, (n2, b2) in second.items():
         n1, b1 = first.get(codec, (0, 0))
         assert n2 > n1 and b2 > b1  # accumulated, not restarted
+
+
+def test_result_cache_ttl_expiry(spark, dirs):
+    """Result-cache TTL (getTtl imagor.go:991-1003 + expiration-on-Get
+    filestorage.go:64-76): expired batches drop out of the rendered-keys
+    index (→ re-render) and out of committed reads."""
+    import json as _json
+    import os as _os
+
+    write_batch(spark, dirs["in"], 0, 15)
+    q, sink = run_pipeline(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
+        allow_unsafe=True, wait=True,
+    )
+    n_keys = sink.read_rendered_keys(spark).count()
+    assert n_keys > 0
+    # fresh: everything visible under a generous TTL
+    assert sink.read_rendered_keys(spark, max_age_ms=10**9).count() == n_keys
+    assert sink.read_committed(spark, max_age_ms=10**9).count() > 0
+    # pretend time passed: a tiny TTL expires every batch
+    committed_at = _json.load(open(_os.path.join(dirs["out"], "_commits", "0")))["committed_at_ms"]
+    later = committed_at + 60_000
+    assert sink.read_rendered_keys(spark, max_age_ms=1000, now_ms=later).count() == 0
+    try:
+        n_exp = sink.read_committed(spark, max_age_ms=1000, now_ms=later).count()
+    except FileNotFoundError:
+        n_exp = 0
+    assert n_exp == 0
