@@ -220,7 +220,7 @@ def scaling_run() -> dict:
     # its memory bandwidth + one 122 MB/s disk near ~12 cores, so the
     # N→4N signal is only visible below saturation; a real cluster adds
     # memory buses and disks with every node
-    lo, hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "8,32").split(","))
+    lo, hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(","))
     # shared generated input for the transform-stage passes
     xform_dir = tempfile.mkdtemp(prefix="imagor_xform_shared_")
     xresults = {}
