@@ -50,7 +50,41 @@ MAX_SAMPLES = 81_000_000
 MAX_SR_HZ = 192_000
 MAX_DUR_MS = 3_600_000
 MAX_FILTER_OPS = 64  # ≅ MaxFilterOps cap (process.go:761-796)
-DECODE_CACHE_MAX = 128  # decoded-source cache entries per executor (cache.go:37-163)
+DECODE_CACHE_MAX = 128  # entry bound for plain-dict caches (test/legacy path)
+# byte budget per Python worker process — the reference cache is memory-
+# bounded (ristretto MaxCacheMem, cache.go:37-163), not entry-bounded:
+# 128 entries × up to MAX_SAMPLES float32 samples is tens of GB unbounded
+DECODE_CACHE_MAX_BYTES = 256 * 1024 * 1024
+DECODE_CACHE_ENTRY_CAP_BYTES = 32 * 1024 * 1024  # oversized PCM never admitted
+
+
+class DecodeCache(dict):
+    """Byte-budgeted decoded-source cache (≅ ristretto's byte budget,
+    cache.go:37-163): insertion-ordered dict of
+    ``(payload-md5, shrink-target) → (pcm, sr, codec)`` whose eviction is
+    driven by cumulative ``pcm.nbytes`` against ``max_bytes``, oldest first.
+    Payloads above ``entry_cap`` bypass admission entirely so one giant clip
+    cannot monopolize (or repeatedly flush) the budget."""
+
+    def __init__(
+        self,
+        max_bytes: int = DECODE_CACHE_MAX_BYTES,
+        entry_cap: int = DECODE_CACHE_ENTRY_CAP_BYTES,
+    ):
+        super().__init__()
+        self.max_bytes = max_bytes
+        self.entry_cap = min(entry_cap, max_bytes)
+        self.nbytes = 0
+
+    def admit(self, key, value) -> None:
+        nb = int(value[0].nbytes)
+        if nb > self.entry_cap or key in self:
+            return
+        self[key] = value
+        self.nbytes += nb
+        while self.nbytes > self.max_bytes and len(self) > 1:
+            evicted = self.pop(next(iter(self)))
+            self.nbytes -= int(evicted[0].nbytes)
 
 
 @dataclass
@@ -397,9 +431,11 @@ def _flt_image(pcm, sr, args, assets, meta, res):
     alpha = _f(parts[3]) if len(parts) > 3 else 0.0
     blend = parts[4] if len(parts) > 4 else "over"
     offset, repeat = _resolve_offset(x, pcm.shape[1], kernels._as_2d(over_pcm).shape[1], sr)
-    if repeat:
-        return kernels.mix(pcm, over_pcm, 0, alpha, repeat=True), sr
-    return kernels.blend_overlay(pcm, over_pcm, offset, alpha, blend), sr
+    # repeat composes WITH the blend mode (loop-tiled inside blend_overlay)
+    # rather than bypassing it through the plain mix path
+    return kernels.blend_overlay(
+        pcm, over_pcm, 0 if repeat else offset, alpha, blend, repeat=repeat
+    ), sr
 
 
 def _flt_page(pcm, sr, args, assets, meta, res):
@@ -672,9 +708,13 @@ def process(
         pcm, sr, src_codec = codecs.decode(blob, target_sr=target)
         if cache_key is not None:
             pcm.setflags(write=False)
-            decode_cache[cache_key] = (pcm, sr, src_codec)
-            if len(decode_cache) > DECODE_CACHE_MAX:
-                decode_cache.pop(next(iter(decode_cache)))
+            admit = getattr(decode_cache, "admit", None)
+            if admit is not None:  # byte-budgeted DecodeCache
+                admit(cache_key, (pcm, sr, src_codec))
+            else:  # plain dict (tests): entry-bounded fallback
+                decode_cache[cache_key] = (pcm, sr, src_codec)
+                if len(decode_cache) > DECODE_CACHE_MAX:
+                    decode_cache.pop(next(iter(decode_cache)))
 
     # resolution-bomb guard (≅ CheckResolution, processor.go:506-516)
     if pcm.shape[1] > MAX_SAMPLES or sr > MAX_SR_HZ:

@@ -618,44 +618,93 @@ def rotate_channels(pcm: np.ndarray, degrees: float) -> np.ndarray:
     return np.roll(pcm, k % pcm.shape[0], axis=0)
 
 
+_MASK_GATE = 0.01  # overlay-activity threshold for the mask gates
+_BLEND_EPS = 1e-6
+
+
+def _blend_op(mode: str, region: np.ndarray, o: np.ndarray) -> np.ndarray | None:
+    """Per-sample mix op for one blend mode (audio analogues of the vips
+    separable blend formulas). Pixel-luminance formulas are applied in the
+    magnitude domain (|sample| ∈ [0,1] ≅ luminance) with the base sample's
+    sign reattached; signed-algebra modes (difference/exclusion/darken/
+    lighten/multiply) use the samples directly. Returns None for names that
+    are not mix ops (the caller falls back to over semantics)."""
+    r = region
+    ar, ao = np.abs(r), np.abs(o)
+    sg = np.where(r >= 0, 1.0, -1.0)
+    if mode == "multiply":  # ring modulation
+        return r * o
+    if mode == "mask":  # gate: base passes only where overlay is active
+        return r * (ao > _MASK_GATE)
+    if mode == "mask-out":  # inverse gate (BlendModeDestOut)
+        return r * (ao <= _MASK_GATE)
+    if mode == "screen":  # 1-(1-a)(1-b) on magnitudes
+        return sg * (1.0 - (1.0 - ar) * (1.0 - ao))
+    if mode == "darken":  # keep the quieter sample
+        return np.where(ao < ar, o, r)
+    if mode == "lighten":  # keep the louder sample
+        return np.where(ao > ar, o, r)
+    if mode == "difference":  # cancellation mix (phase-inverted overlay)
+        return r - o
+    if mode == "exclusion":  # a+b-2ab (exact separable formula)
+        return r + o - 2.0 * r * o
+    if mode == "color-dodge":  # a/(1-b): overlay-driven expansion
+        return sg * np.minimum(ar / np.maximum(1.0 - ao, _BLEND_EPS), 1.0)
+    if mode == "color-burn":  # 1-(1-a)/b
+        return sg * (1.0 - np.minimum((1.0 - ar) / np.maximum(ao, _BLEND_EPS), 1.0))
+    if mode == "overlay":  # hard-light with args swapped
+        return sg * np.where(ar < 0.5, 2.0 * ar * ao, 1.0 - 2.0 * (1.0 - ar) * (1.0 - ao))
+    if mode == "hard-light":
+        return sg * np.where(ao < 0.5, 2.0 * ar * ao, 1.0 - 2.0 * (1.0 - ar) * (1.0 - ao))
+    if mode == "soft-light":  # pegtop: (1-2b)a² + 2ba
+        return sg * ((1.0 - 2.0 * ao) * ar * ar + 2.0 * ao * ar)
+    return None
+
+
 def blend_overlay(
     base: np.ndarray,
     over: np.ndarray,
     offset_samples: int,
     alpha_pct: float,
     mode: str = "over",
+    repeat: bool = False,
 ) -> np.ndarray:
-    """Blend-mode composite for image()/overlay (blendModeMap,
-    overlay.go:154-170 → mix-op analogues, SURVEY §2.3):
+    """Blend-mode composite for image()/overlay — the full 15-name
+    blendModeMap (overlay.go:154-170) as audio mix ops (SURVEY §2.3):
 
-    * ``over``/``add``/'' → mix-add (the watermark path)
-    * ``multiply``       → ring modulation (base × overlay), wet/dry by alpha
-    * ``mask``           → gate: base passes only where the overlay is active
+    * ``normal``/``over``/``add``/'' → mix-add (the watermark path)
+    * ``multiply`` → ring mod; ``mask``/``mask-out`` → activity gates
+    * ``screen``/``darken``/``lighten``/``difference``/``exclusion``/
+      ``color-dodge``/``color-burn``/``overlay``/``hard-light``/
+      ``soft-light`` → the vips separable formulas on sample magnitudes
+      (see ``_blend_op``)
 
-    ``alpha``: 0 = fully applied … 100 = inaudible (imagor alpha polarity).
+    ``alpha``: 0 = fully applied … 100 = inaudible (imagor alpha polarity);
+    non-normal modes crossfade wet/dry by alpha. ``repeat`` loop-tiles the
+    overlay to cover the base so repeat composes with every blend mode.
     """
     mode = (mode or "over").strip().lower()
     if mode in ("", "over", "add", "normal"):
-        return mix(base, over, offset_samples, alpha_pct)
-    base = _as_2d(base).copy()
+        return mix(base, over, offset_samples, alpha_pct, repeat=repeat)
+    base2 = _as_2d(base).copy()
     over = _as_2d(over)
     wet = max(0.0, min(1.0, 1.0 - alpha_pct / 100.0))
-    if wet == 0.0 or over.shape[1] == 0 or base.shape[1] == 0:
-        return base
-    if over.shape[0] != base.shape[0]:
-        over = np.tile(over.mean(axis=0, keepdims=True), (base.shape[0], 1))
+    if wet == 0.0 or over.shape[1] == 0 or base2.shape[1] == 0:
+        return base2
+    if over.shape[0] != base2.shape[0]:
+        over = np.tile(over.mean(axis=0, keepdims=True), (base2.shape[0], 1))
+    if repeat:
+        reps = int(np.ceil((base2.shape[1] + max(offset_samples, 0)) / over.shape[1]))
+        over = np.tile(over, (1, max(reps, 1)))
     start = max(offset_samples, 0)
     skip = max(-offset_samples, 0)
-    length = min(base.shape[1] - start, over.shape[1] - skip)
+    length = min(base2.shape[1] - start, over.shape[1] - skip)
     if length <= 0:
-        return base
-    region = base[:, start : start + length]
+        return base2
+    region = base2[:, start : start + length]
     o = over[:, skip : skip + length]
-    if mode == "multiply":
-        blended = region * o
-    elif mode == "mask":
-        blended = region * (np.abs(o) > 0.01)
-    else:  # unknown blend name → over semantics (reference default)
-        return mix(base, over, offset_samples, alpha_pct)
-    base[:, start : start + length] = (1.0 - wet) * region + wet * blended
-    return np.clip(base, -1.0, 1.0).astype(np.float32)
+    blended = _blend_op(mode, region, o)
+    if blended is None:  # unknown blend name → over semantics (reference default)
+        return mix(base, over, offset_samples, alpha_pct, repeat=repeat)
+    base2[:, start : start + length] = (1.0 - wet) * region + wet * blended
+    return np.clip(base2, -1.0, 1.0).astype(np.float32)

@@ -97,8 +97,9 @@ class _OpsCache:
 
 
 # executor-local decoded-source cache (≅ cache.go:37-163): one per Python
-# worker process, shared across batches; bounded, bypass-rule aware
-_DECODE_CACHE: dict = {}
+# worker process, shared across batches; BYTE-budgeted (ristretto-style),
+# bypass-rule aware
+_DECODE_CACHE = audio_apply.DecodeCache()
 
 
 def make_transform_fn(

@@ -61,6 +61,26 @@ class IdempotentSink:
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.commits_dir, str(batch_id))
 
+    @staticmethod
+    def _has_parquet_files(path: str) -> bool:
+        """True if any .parquet data file exists under ``path`` (one level of
+        partition dirs deep — matching the sink's own layout)."""
+        try:
+            entries = os.listdir(path)
+        except FileNotFoundError:
+            return False
+        for e in entries:
+            full = os.path.join(path, e)
+            if e.endswith(".parquet") and os.path.isfile(full):
+                return True
+            if os.path.isdir(full):
+                try:
+                    if any(x.endswith(".parquet") for x in os.listdir(full)):
+                        return True
+                except FileNotFoundError:
+                    continue
+        return False
+
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._marker(batch_id))
 
@@ -85,21 +105,23 @@ class IdempotentSink:
         writer.parquet(data_path)
 
         # derived side tables from a column-pruned re-read (never touches
-        # the binary column again — parquet reads only the tiny columns)
-        try:
-            written = spark.read.parquet(data_path)
-        except Exception:
-            # empty batch + dynamic partitionBy writes zero files; write a
-            # schema-bearing empty file inside a synthetic partition dir so
-            # the directory layout stays consistent with non-empty batches
-            # (readers of data/lineage/metrics then see the batch as 0 rows)
+        # the binary column again — parquet reads only the tiny columns).
+        # An empty batch + dynamic partitionBy writes zero parquet files,
+        # which would make the re-read fail schema inference — detect that
+        # case explicitly (never via a broad except, which would mistake a
+        # transient FS error for an empty batch and stamp a synthetic
+        # partition into a non-empty batch's directory).
+        if not self._has_parquet_files(data_path):
+            # write a schema-bearing empty file inside a synthetic partition
+            # dir so the directory layout stays consistent with non-empty
+            # batches (readers of data/lineage/metrics see the batch as 0 rows)
             empty = batch_df.limit(0).coalesce(1)
             target = data_path
             if self.partition_by:
                 empty = empty.drop(self.partition_by)
                 target = os.path.join(data_path, f"{self.partition_by}=__empty__")
             empty.write.mode("overwrite").parquet(target)
-            written = spark.read.parquet(data_path)
+        written = spark.read.parquet(data_path)
         lineage = (
             written.groupBy("part_id")
             .agg(
@@ -167,7 +189,12 @@ class IdempotentSink:
             try:
                 with open(self._marker(b)) as f:
                     meta = json.load(f)
-                if now - meta.get("committed_at_ms", 0) <= max_age_ms:
+                committed_at = meta.get("committed_at_ms")
+                if committed_at is None:
+                    # legacy marker without a timestamp: age by the marker
+                    # file's mtime instead of treating it as infinitely old
+                    committed_at = int(os.path.getmtime(self._marker(b)) * 1000)
+                if now - committed_at <= max_age_ms:
                     fresh.append(b)
             except (OSError, ValueError):
                 continue

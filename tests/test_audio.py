@@ -546,6 +546,70 @@ def test_image_nested_subpipeline_and_blends():
     assert deep.pcm.shape[1] == len(base)
 
 
+def test_blend_mode_map_full():
+    """All 15 blendModeMap names (overlay.go:154-170) are real mix ops:
+    each matches an independently-written formula oracle; alpha=100 is a
+    no-op crossfade; unknown names fall back to over semantics."""
+    b = kernels._as_2d(tone(440, 0.25))
+    o = kernels._as_2d(tone(880, 0.25, amp=0.3))
+    ab, ao = np.abs(b), np.abs(o)
+    sg = np.where(b >= 0, 1.0, -1.0)
+    eps = 1e-6
+    oracles = {
+        "screen": sg * (1 - (1 - ab) * (1 - ao)),
+        "darken": np.where(ao < ab, o, b),
+        "lighten": np.where(ao > ab, o, b),
+        "difference": b - o,
+        "exclusion": b + o - 2 * b * o,
+        "color-dodge": sg * np.minimum(ab / np.maximum(1 - ao, eps), 1.0),
+        "color-burn": sg * (1 - np.minimum((1 - ab) / np.maximum(ao, eps), 1.0)),
+        "overlay": sg * np.where(ab < 0.5, 2 * ab * ao, 1 - 2 * (1 - ab) * (1 - ao)),
+        "hard-light": sg * np.where(ao < 0.5, 2 * ab * ao, 1 - 2 * (1 - ab) * (1 - ao)),
+        "soft-light": sg * ((1 - 2 * ao) * ab * ab + 2 * ao * ab),
+        "multiply": b * o,
+        "mask": b * (ao > 0.01),
+        "mask-out": b * (ao <= 0.01),
+    }
+    for mode, expect in oracles.items():
+        out = kernels.blend_overlay(b, o, 0, 0.0, mode)
+        expect = np.clip(expect, -1.0, 1.0).astype(np.float32)
+        assert kernels.snr_db(expect, out) > 60, mode
+        # alpha=100 → dry signal untouched
+        dry = kernels.blend_overlay(b, o, 0, 100.0, mode)
+        assert np.allclose(dry, b), mode
+    # normal/add/over route through mix; unknown name falls back to over
+    assert np.allclose(
+        kernels.blend_overlay(b, o, 0, 0.0, "normal"), kernels.mix(b, o, 0, 0.0)
+    )
+    assert np.allclose(
+        kernels.blend_overlay(b, o, 0, 0.0, "no-such-mode"), kernels.mix(b, o, 0, 0.0)
+    )
+
+
+def test_image_repeat_composes_with_blend():
+    """image(spec,repeat,0,a,blend) must loop-tile AND apply the blend —
+    previously the repeat path silently fell back to over semantics."""
+    base = tone(440, 0.5)
+    assets = watermark_assets()  # beep @16k, 0.25 s
+    rep_mul = apply_transformations(
+        base, SR, parse("unsafe/filters:image(beep,repeat,0,0,multiply)/img"), assets
+    )
+    rep_over = apply_transformations(
+        base, SR, parse("unsafe/filters:image(beep,repeat,0,0)/img"), assets
+    )
+    assert not np.allclose(rep_mul.pcm, rep_over.pcm)  # blend no longer lost
+    # oracle: tiled multiply via blend_overlay's repeat
+    expect = kernels.blend_overlay(base, assets["beep"][0], 0, 0.0, "multiply", repeat=True)
+    assert kernels.snr_db(expect, rep_mul.pcm) > 60
+    # and the tiling actually covers past the first overlay length:
+    # the second 0.25 s window is ring-modulated too (energy at sidebands)
+    n_over = len(assets["beep"][0])
+    seg = rep_mul.pcm[0, n_over : 2 * n_over].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg))
+    freqs = np.fft.rfftfreq(len(seg), 1 / SR)
+    assert spec[np.argmin(np.abs(freqs - 1320))] > spec[np.argmin(np.abs(freqs - 440))]
+
+
 def test_strip_metadata_effect():
     """strip_metadata() must actually strip (process.go:884-992 opts.Keep):
     filter-emitted meta tags vanish and the transcript carry is nulled."""
@@ -634,6 +698,49 @@ def test_decoded_source_cache_and_bypass():
         assert calls["n"] == 1 and len(cache) == 1
     finally:
         codecs.decode = orig
+
+
+def test_decode_cache_byte_budget():
+    """DecodeCache evicts on cumulative PCM bytes (≅ ristretto MaxCacheMem,
+    cache.go:37-163), not entry count: a few large entries must trigger
+    eviction well below DECODE_CACHE_MAX entries, oldest first, and an
+    oversized single payload is never admitted."""
+    from imagor_spark.audio.apply import DecodeCache
+
+    p = parse("unsafe/fit-in/8000x0/img")
+    blobs = [codecs.encode(tone(440 + 10 * i, 1.0), SR, "wav") for i in range(5)]
+    # probe the per-entry cached size (shrink-on-load may decode below SR)
+    probe = DecodeCache()
+    process(blobs[0], p, decode_cache=probe)
+    enb = next(iter(probe.values()))[0].nbytes
+    cache = DecodeCache(max_bytes=int(3.5 * enb), entry_cap=2 * enb)
+    for b in blobs:
+        process(b, p, decode_cache=cache)
+    # 5 admissions × 64 KB against a 3.5-entry byte budget → oldest evicted
+    assert len(cache) == 3
+    assert cache.nbytes <= cache.max_bytes
+    # newest three survive: re-processing blob 0 must decode again
+    calls = {"n": 0}
+    orig = codecs.decode
+
+    def counting(b, target_sr=None):
+        calls["n"] += 1
+        return orig(b, target_sr=target_sr)
+
+    codecs.decode = counting
+    try:
+        process(blobs[0], p, decode_cache=cache)
+        assert calls["n"] == 1
+        process(blobs[4], p, decode_cache=cache)  # newest: still cached
+        assert calls["n"] == 1
+    finally:
+        codecs.decode = orig
+    # oversized payload (> entry_cap) is never admitted
+    big = codecs.encode(tone(220, 3.0), SR, "wav")  # 3 s ≈ 192 KB > 128 KB cap
+    n_before, nbytes_before = len(cache), cache.nbytes
+    process(big, p, decode_cache=cache)
+    assert (len(cache), cache.nbytes) == (n_before, nbytes_before)
+    assert all(v[0].nbytes <= cache.entry_cap for v in cache.values())
 
 
 def test_watermark_ratio_resize():
