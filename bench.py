@@ -34,6 +34,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def purge_stale_workdirs() -> None:
+    """Remove leftover bench/transform workdirs from crashed or killed
+    earlier runs. Free disk is a first-order performance variable in this
+    sandbox (measured round 3: the filesystem slows 5-20× as it fills —
+    the entire r02 pipeline 'regression' was accumulated bench debris), so
+    a bench must start from a clean tempdir."""
+    import glob
+
+    tmp = tempfile.gettempdir()
+    for pat in ("imagor_bench_*", "imagor_xform_*", "imagor_xform_shared_*"):
+        for d in glob.glob(os.path.join(tmp, pat)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def run_pipeline_bench(spark, sf_dir: str, workdir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -58,24 +72,31 @@ def run_pipeline_bench(spark, sf_dir: str, workdir: str) -> dict:
     # (docs/docs/benchmarks.mdx:191-200); under gVisor the first pass over
     # fresh JVM/direct-buffer pages is 10-50× slower than steady state, so
     # run the identical pipeline over a slice first and discard it.
-    log("[bench] warmup pass (untimed)")
-    run_pipeline(
-        spark,
-        in_dir,
-        os.path.join(workdir, "warm_out"),
-        os.path.join(workdir, "warm_ckpt"),
-        secret=SECRET,
-        allow_unsafe=True,
-        assets=watermark_assets(),
-        salt_partitions=None,
-        wait=True,
-    )
+    if os.environ.get("SPARK_GRAFT_SKIP_WARMUP") != "1":  # diag knob
+        log("[bench] warmup pass (untimed)")
+        run_pipeline(
+            spark,
+            in_dir,
+            os.path.join(workdir, "warm_out"),
+            os.path.join(workdir, "warm_ckpt"),
+            secret=SECRET,
+            allow_unsafe=True,
+            assets=watermark_assets(),
+            salt_partitions=None,
+            wait=True,
+        )
+        # DISK HYGIENE (measured, round 3): this sandbox filesystem
+        # degrades 5-20× (scan 6→69 s, pipeline 100→330 s) as free space
+        # shrinks — accumulated bench outputs were the entire r02
+        # "regression". Drop every byte the moment it is no longer needed.
+        shutil.rmtree(os.path.join(workdir, "warm_out"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "warm_ckpt"), ignore_errors=True)
 
     # Timed runs: this sandbox's CPU is shared/noisy (identical numpy work
     # measured 1.8-10.5 s across reps), so take the best of N runs — the
     # best run is the least-interfered measurement of the engine itself.
     runs = []
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for i in range(n_runs):
         log(f"[bench] timed pipeline run {i + 1}/{n_runs}")
         t0 = time.time()
@@ -92,7 +113,9 @@ def run_pipeline_bench(spark, sf_dir: str, workdir: str) -> dict:
             # so salting here would be a redundant full payload shuffle
             # (~3 GB at sf0.1 through a 122 MB/s disk). Salting belongs to
             # the windowed-agg paths grouping on the skewed codec key.
-            salt_partitions=None,
+            # (env knob for A/B attribution runs only)
+            salt_partitions=(int(os.environ["SPARK_GRAFT_SALT"])
+                             if os.environ.get("SPARK_GRAFT_SALT") else None),
             wait=True,
         )
         elapsed = time.time() - t0
@@ -101,6 +124,10 @@ def run_pipeline_bench(spark, sf_dir: str, workdir: str) -> dict:
         out_bytes = committed.agg(F.sum(F.length("bytes"))).first()[0] or 0
         runs.append((elapsed, n_out, out_bytes))
         log(f"[bench] run {i + 1}: {elapsed:.1f}s → {n_out / elapsed:.0f} clips/s")
+        # disk hygiene (see warmup note): reclaim this run's ~6 GB of
+        # output+checkpoint before the next run measures anything
+        shutil.rmtree(os.path.join(out_dir, f"run{i}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, f"ckpt{i}"), ignore_errors=True)
     elapsed, n_out, out_bytes = min(runs, key=lambda r: r[0])
     return {
         "n_clips_in": n_clips,
@@ -140,7 +167,7 @@ def run_transform_bench(spark, sf_dir: str, workdir: str) -> dict:
 
     one_pass()  # warmup
     runs = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
         t0 = time.time()
         one_pass()
         runs.append(time.time() - t0)
@@ -165,6 +192,7 @@ def run_query_bench(spark, sf_dir: str) -> dict:
 
 def single_run(pipeline_only: bool) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    purge_stale_workdirs()
     from imagor_spark.engine.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -211,69 +239,67 @@ def transform_only_run() -> dict:
             "cpus": cpus, "detail": res}
 
 
-def scaling_run() -> dict:
-    """Same job at two parallelism levels (north_rule evidence): efficiency
-    = (T_low_cores / T_high_cores) / (cores_high / cores_low). Reports BOTH
-    the end-to-end pipeline (disk-capped in this single-box sandbox) and
-    the transform compute stage (the part that must scale with cores)."""
-    # core levels: overridable (e.g. "2,8") — this single VM saturates
-    # its memory bandwidth + one 122 MB/s disk near ~12 cores, so the
-    # N→4N signal is only visible below saturation; a real cluster adds
-    # memory buses and disks with every node
-    lo, hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(","))
-    # shared generated input for the transform-stage passes
-    xform_dir = tempfile.mkdtemp(prefix="imagor_xform_shared_")
-    xresults = {}
-    for cores in (lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
-                   SPARK_GRAFT_XFORM_DIR=xform_dir)
-        env.setdefault("SPARK_GRAFT_N_CLIPS", "100000")
-        env.setdefault("SPARK_GRAFT_BENCH_RUNS", "3")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--transform-only"],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        if out.returncode != 0 or not out.stdout.strip():
-            for ln in out.stderr.strip().splitlines()[-15:]:
-                log("  " + ln)
-            raise RuntimeError(f"transform scaling failed at {cores} cores")
-        xresults[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        log(f"[scaling] transform-only {cores} cores → {xresults[cores]['value']} clips/sec")
+def _scaling_pass(mode: str, cores_levels: tuple[int, int], xform_dir: str | None = None) -> dict:
+    """Run one bench mode at two core counts in subprocesses; return
+    {cores: parsed_json}."""
     results = {}
-    for cores in (lo, hi):
+    for cores in cores_levels:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-        # 4x the default clip count + best-of-3: at 50k clips the 32-core
+        if xform_dir:
+            env["SPARK_GRAFT_XFORM_DIR"] = xform_dir
+        # 2x the default clip count + best-of-3: at 50k clips the 32-core
         # run finishes in ~40 s and fixed costs + gVisor noise swamp the
         # scaling signal (an 8-core run once measured FASTER)
         env.setdefault("SPARK_GRAFT_N_CLIPS", "100000")
         env.setdefault("SPARK_GRAFT_BENCH_RUNS", "3")
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+            [sys.executable, os.path.abspath(__file__), mode],
             env=env, capture_output=True, text=True, timeout=3600,
         )
         if out.returncode != 0 or not out.stdout.strip():
-            tail = out.stderr.strip().splitlines()[-15:]
-            log(f"[scaling] {cores}-core run failed (rc={out.returncode}):")
-            for ln in tail:
+            log(f"[scaling] {mode} at {cores} cores failed (rc={out.returncode}):")
+            for ln in out.stderr.strip().splitlines()[-15:]:
                 log("  " + ln)
-            raise RuntimeError(f"scaling subprocess failed at {cores} cores")
-        line = out.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
-        log(f"[scaling] {cores} cores → {results[cores]['value']} clips/sec")
+            raise RuntimeError(f"{mode} scaling subprocess failed at {cores} cores")
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        log(f"[scaling] {mode} {cores} cores → {results[cores]['value']} clips/sec")
+    return results
+
+
+def scaling_run() -> dict:
+    """Same job at two parallelism levels (north_rule evidence): efficiency
+    = (T_low_cores / T_high_cores) / (cores_high / cores_low).
+
+    HEADLINE ``value`` = END-TO-END pipeline efficiency at the primary core
+    levels (default 8→32, the round-1 definition). The transform compute
+    stage is ALSO measured at explicitly-labeled sub-saturation levels
+    (default 2→8): this single VM saturates its memory bandwidth + one
+    ~122 MB/s disk near ~12 busy cores, so the CPU-scaling signal of the
+    compute plane is only visible below saturation — on a real cluster
+    disks and memory buses scale with NODES, which is the regime the
+    north_rule targets."""
+    lo, hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "8,32").split(","))
+    slo, shi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES_SUB", "2,8").split(","))
+    results = _scaling_pass("--pipeline-only", (lo, hi))
+    xform_dir = tempfile.mkdtemp(prefix="imagor_xform_shared_")
+    xresults = _scaling_pass("--transform-only", (slo, shi), xform_dir=xform_dir)
     tplo, tphi = results[lo]["value"], results[hi]["value"]
-    xplo, xphi = xresults[lo]["value"], xresults[hi]["value"]
-    ratio = hi / lo
-    eff = (tphi / tplo) / ratio
-    xeff = (xphi / xplo) / ratio
+    xplo, xphi = xresults[slo]["value"], xresults[shi]["value"]
+    eff = (tphi / tplo) / (hi / lo)
+    xeff = (xphi / xplo) / (shi / slo)
     return {
-        "metric": f"N→{ratio:g}N scaling efficiency (local[{lo}]→local[{hi}])",
-        "value": round(xeff, 3),
+        "metric": f"N→{hi / lo:g}N end-to-end scaling efficiency (local[{lo}]→local[{hi}])",
+        "value": round(eff, 3),
         "unit": "efficiency",
-        "transform_stage": {f"throughput_{lo}": xplo, f"throughput_{hi}": xphi,
-                            "efficiency": round(xeff, 3)},
         "end_to_end": {f"throughput_{lo}": tplo, f"throughput_{hi}": tphi,
                        "efficiency": round(eff, 3),
                        "note": "single-box sandbox: output+shuffle go through one ~122 MB/s disk and one memory bus, resources that scale with NODES on a real cluster but not with cores here"},
+        "transform_stage_sub_saturation": {
+            "cores": [slo, shi],
+            f"throughput_{slo}": xplo, f"throughput_{shi}": xphi,
+            "efficiency": round(xeff, 3),
+            "note": "compute plane measured below the box's ~12-core memory-bandwidth/disk saturation point — the additional, explicitly-labeled measurement of CPU scaling",
+        },
         "queries": {},
         "sf": results[hi]["sf"],
     }

@@ -21,6 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Iterator
 
@@ -121,6 +122,8 @@ def make_transform_fn(
     signer = HMACSigner(alg, truncate, secret) if secret is not None else None
     if allow_unsafe is None:
         allow_unsafe = signer is None
+    if os.environ.get("SPARK_GRAFT_DECODE_CACHE") == "0":  # A/B kill switch
+        use_decode_cache = False
     fixed_now = now_ms
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

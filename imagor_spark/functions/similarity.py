@@ -92,15 +92,21 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
 
 
 def lsh_bucket(
-    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed_offset: int = 0,
+    out_col: str = "lsh_bucket",
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string of n_planes dot
-    products. Same-bucket vectors are near-duplicate candidates."""
+    products. Same-bucket vectors are near-duplicate candidates.
+    ``seed_offset`` selects an independent plane family (banded tables)."""
     bits = []
     for s in range(n_planes):
-        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, s)])
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, seed_offset + s)])
         bits.append(F.when(dot(F.col(vec_col), hp) >= 0, "1").otherwise("0"))
-    return df.withColumn("lsh_bucket", F.concat(*bits))
+    return df.withColumn(out_col, F.concat(*bits))
 
 
 def lsh_topk(
@@ -155,6 +161,8 @@ def embedding_near_dups(
     n_planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bands: int = 1,
+    max_avg_bucket: int | None = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector leg of the dedup
     plane: random-hyperplane LSH bucketing prunes the O(n²) pair space to
@@ -164,18 +172,47 @@ def embedding_near_dups(
 
     Same scale shape as the MinHash LSH join: merge-hinted self-join so the
     bucketing lineage is planned once (ReusedExchange) — the only viable
-    plan at billions of vectors, where neither side broadcasts."""
-    b = lsh_bucket(df, dim, n_planes, vec_col).select(
-        F.col(id_col), F.col(vec_col), "lsh_bucket"
-    )
-    a_side = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
-    ).hint("merge")
-    b_side = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
-    ).hint("merge")
-    pairs = a_side.join(b_side, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
-    )
-    return scored.filter(F.col("cos_sim") >= threshold)
+    plan at billions of vectors, where neither side broadcasts.
+
+    Scale guard: the same-bucket self-join is O(Σ bucket²); when
+    ``2^n_planes`` is small relative to n it silently degenerates toward a
+    cross join. ``max_avg_bucket`` raises when the EXPECTED average bucket
+    (n / 2^n_planes) exceeds the guard — fix by raising ``n_planes`` (and
+    ``bands`` to recover the recall each extra plane costs). Mirrors the
+    ``pairwise_topk_per_vector`` O(n²) guard.
+
+    ``bands`` > 1 = banded multi-table LSH (the MinHash band construction):
+    each band hashes with an independent plane family; candidates are the
+    UNION of same-bucket pairs across bands — more planes per band keeps
+    buckets (and the join) small while the union keeps recall."""
+    if max_avg_bucket is not None:
+        n = df.count()
+        avg_bucket = n / float(2**n_planes)
+        if avg_bucket > max_avg_bucket:
+            raise ValueError(
+                f"embedding_near_dups: expected avg LSH bucket {avg_bucket:.0f} rows "
+                f"(n={n}, 2^{n_planes} buckets) exceeds the {max_avg_bucket} guard; "
+                f"the same-bucket self-join would approach O(n²) — raise n_planes "
+                f"(and bands to keep recall), or raise max_avg_bucket explicitly"
+            )
+    all_pairs = None
+    for band in range(max(bands, 1)):
+        b = lsh_bucket(
+            df, dim, n_planes, vec_col, seed_offset=band * n_planes
+        ).select(F.col(id_col), F.col(vec_col), "lsh_bucket")
+        a_side = b.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+        ).hint("merge")
+        b_side = b.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+        ).hint("merge")
+        pairs = a_side.join(b_side, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+        scored = pairs.select(
+            "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+        )
+        kept = scored.filter(F.col("cos_sim") >= threshold)
+        all_pairs = kept if all_pairs is None else all_pairs.unionByName(kept)
+    if bands > 1:
+        # a pair can collide in several bands — exact-dedup the union
+        all_pairs = all_pairs.distinct()
+    return all_pairs

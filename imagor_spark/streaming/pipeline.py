@@ -144,6 +144,7 @@ def run_pipeline(
     wait: bool = True,
     allow_unsafe: bool | None = None,
     result_cache_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end: build, sink, (optionally) wait for availableNow drain.
 
@@ -160,6 +161,7 @@ def run_pipeline(
         spark, input_dir, secret=secret, watermark=watermark,
         dedup=dedup, salt_partitions=salt_partitions, assets=assets,
         allow_unsafe=allow_unsafe, rendered_keys=rendered,
+        max_files_per_trigger=max_files_per_trigger,
     )
     q, sink = run_to_sink(result, out_dir, checkpoint_dir)
     if wait:

@@ -48,7 +48,12 @@ _RENDERED_STATUSES = ("ok", "meta")
 
 
 class IdempotentSink:
-    def __init__(self, out_dir: str, partition_by: str | None = "codec"):
+    def __init__(
+        self,
+        out_dir: str,
+        partition_by: str | None = "codec",
+        rendered_compact_every: int = 32,
+    ):
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "data")
         self.commits_dir = os.path.join(out_dir, "_commits")
@@ -56,6 +61,9 @@ class IdempotentSink:
         self.metrics_dir = os.path.join(out_dir, "metrics")
         self.rendered_dir = os.path.join(out_dir, "rendered_keys")
         self.partition_by = partition_by
+        # compact the rendered-keys index once this many per-batch dirs
+        # accumulate (0 disables auto-compaction)
+        self.rendered_compact_every = rendered_compact_every
         os.makedirs(self.commits_dir, exist_ok=True)
 
     def _marker(self, batch_id: int) -> str:
@@ -98,8 +106,10 @@ class IdempotentSink:
         # zstd instead of the snappy default: PCM16 payloads compress ~2×
         # under zstd and barely under snappy — on a disk-bound sink this
         # trades CPU (which scales with executors) for write bandwidth
-        # (which does not scale within a node)
-        writer = batch_df.write.mode("overwrite").option("compression", "zstd")
+        # (which does not scale within a node). Env-overridable for A/B
+        # measurement (BENCH.md codec study).
+        compression = os.environ.get("SPARK_GRAFT_SINK_COMPRESSION", "zstd")
+        writer = batch_df.write.mode("overwrite").option("compression", compression)
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(data_path)
@@ -165,6 +175,11 @@ class IdempotentSink:
                 f,
             )
         os.replace(tmp, self._marker(batch_id))
+        # periodic index compaction: a long-running pipeline otherwise grows
+        # one rendered_keys/batch-* parquet dir per batch forever, and the
+        # anti-join's build side becomes thousands of small files
+        if self.rendered_compact_every and self._n_rendered_batch_dirs() >= self.rendered_compact_every:
+            self.compact_rendered_keys(spark)
 
     # ---- reader side: only committed batches are visible
 
@@ -224,17 +239,134 @@ class IdempotentSink:
     def read_metrics(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.metrics_dir, "batch-*"))
 
+    # ---- rendered-keys index compaction (result-cache index maintenance):
+    # the reference's result storage is ONE keyed store; per-batch dirs are
+    # an append log that must fold into a compact index periodically
+
+    def _compact_manifest_path(self) -> str:
+        return os.path.join(self.rendered_dir, "_compacted.json")
+
+    def _read_compact_manifest(self) -> dict | None:
+        try:
+            with open(self._compact_manifest_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _n_rendered_batch_dirs(self) -> int:
+        try:
+            return sum(
+                1 for e in os.listdir(self.rendered_dir) if e.startswith("batch-")
+            )
+        except FileNotFoundError:
+            return 0
+
+    def _marker_committed_at(self, batch_id: int) -> int:
+        try:
+            with open(self._marker(batch_id)) as f:
+                meta = json.load(f)
+            at = meta.get("committed_at_ms")
+            if at is not None:
+                return int(at)
+        except (OSError, ValueError):
+            pass
+        try:
+            return int(os.path.getmtime(self._marker(batch_id)) * 1000)
+        except OSError:
+            return 0
+
+    def compact_rendered_keys(self, spark) -> int:
+        """Fold the per-batch rendered-keys dirs (plus any previous compact
+        index) into ONE distinct parquet keyed (result_key, committed_at_ms)
+        — a re-rendered key keeps its NEWEST commit time, so TTL expiration
+        (applied per-row on read) matches the batch-level semantics. The
+        manifest swap is atomic (os.replace); stale batch dirs are removed
+        only after the new manifest is visible, and a crash in between is
+        harmless (reads use manifest.upto to ignore folded batch dirs).
+        Returns the new row count of the compact index."""
+        import shutil
+
+        manifest = self._read_compact_manifest()
+        prev_upto = manifest["upto"] if manifest else -1
+        batch_ids = [
+            b
+            for b in self.committed_batches()
+            if b > prev_upto
+            and os.path.exists(os.path.join(self.rendered_dir, f"batch-{b}"))
+        ]
+        if not batch_ids and manifest:
+            return 0  # nothing new to fold
+        frames = []
+        if manifest:
+            frames.append(
+                spark.read.parquet(os.path.join(self.rendered_dir, manifest["name"]))
+            )
+        for b in batch_ids:
+            frames.append(
+                spark.read.parquet(os.path.join(self.rendered_dir, f"batch-{b}"))
+                .select("result_key")
+                .withColumn("committed_at_ms", F.lit(self._marker_committed_at(b)))
+            )
+        if not frames:
+            return 0
+        union = frames[0]
+        for fr in frames[1:]:
+            union = union.unionByName(fr)
+        compacted = union.groupBy("result_key").agg(
+            F.max("committed_at_ms").alias("committed_at_ms")
+        )
+        new_upto = max(batch_ids) if batch_ids else prev_upto
+        new_name = f"compact-{new_upto}"
+        out_path = os.path.join(self.rendered_dir, new_name)
+        compacted.coalesce(1).write.mode("overwrite").parquet(out_path)
+        n = spark.read.parquet(out_path).count()
+        tmp = self._compact_manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"upto": new_upto, "name": new_name, "n_keys": n}, f)
+        os.replace(tmp, self._compact_manifest_path())
+        # cleanup AFTER the manifest swap: folded batch dirs + old compact
+        for b in batch_ids:
+            shutil.rmtree(os.path.join(self.rendered_dir, f"batch-{b}"), ignore_errors=True)
+        if manifest and manifest["name"] != new_name:
+            shutil.rmtree(
+                os.path.join(self.rendered_dir, manifest["name"]), ignore_errors=True
+            )
+        return n
+
     def read_rendered_keys(
         self, spark, max_age_ms: int | None = None, now_ms: int | None = None
     ) -> DataFrame:
         """Committed result-cache index: DataFrame[result_key] (distinct per
         batch; dedup across batches happens in the anti-join). Empty frame
-        when nothing is committed yet. ``max_age_ms`` expires old batches —
+        when nothing is committed yet. ``max_age_ms`` expires old entries —
         their keys drop out of the index and the anti-join re-renders them
-        (result-cache TTL, getTtl imagor.go:991-1003)."""
-        paths = self._committed_paths(
-            self.rendered_dir, "batch-", max_age_ms=max_age_ms, now_ms=now_ms
-        )
-        if not paths:
+        (result-cache TTL, getTtl imagor.go:991-1003). Reads the compact
+        index (row-level TTL on its committed_at_ms column) plus any
+        not-yet-folded per-batch dirs (batch-level TTL via the marker)."""
+        manifest = self._read_compact_manifest()
+        frames = []
+        if manifest:
+            cdf = spark.read.parquet(os.path.join(self.rendered_dir, manifest["name"]))
+            if max_age_ms is not None:
+                now = now_ms if now_ms is not None else int(time.time() * 1000)
+                cdf = cdf.filter(F.col("committed_at_ms") >= F.lit(now - max_age_ms))
+            frames.append(cdf.select("result_key"))
+        upto = manifest["upto"] if manifest else -1
+        batches = [
+            b
+            for b in self.committed_batches(max_age_ms=max_age_ms, now_ms=now_ms)
+            if b > upto
+        ]
+        paths = [
+            p
+            for p in (os.path.join(self.rendered_dir, f"batch-{b}") for b in batches)
+            if os.path.exists(p)
+        ]
+        if paths:
+            frames.append(spark.read.parquet(*paths).select("result_key"))
+        if not frames:
             return spark.createDataFrame([], "result_key string")
-        return spark.read.parquet(*paths).select("result_key")
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out

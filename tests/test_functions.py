@@ -166,6 +166,31 @@ def test_pairwise_guard(spark, emb):
         pairwise_topk_per_vector(emb, max_rows=10)
 
 
+def test_embedding_lsh_guard_and_bands(spark, emb):
+    """The same-bucket self-join degenerates toward O(n²) when 2^n_planes
+    is small relative to n: the guard must raise, raising n_planes must
+    pass, and the banded multi-table variant must be a superset of (and
+    consistent with) the single-band candidates at equal plane count."""
+    from imagor_spark.functions.similarity import embedding_near_dups
+
+    # n=500 vectors, 2^1=2 buckets → avg 250 > guard of 100 → raise
+    with pytest.raises(ValueError, match="guard|n_planes"):
+        embedding_near_dups(emb, dim=64, n_planes=1, max_avg_bucket=100)
+    # more planes shrink the expected bucket below the guard → runs
+    single = embedding_near_dups(emb, dim=64, threshold=0.2, n_planes=4,
+                                 max_avg_bucket=100)
+    n_single = single.count()
+    # banded: band 0 uses the SAME plane family as single → superset
+    banded = embedding_near_dups(emb, dim=64, threshold=0.2, n_planes=4,
+                                 bands=2, max_avg_bucket=100)
+    n_banded = banded.count()
+    assert n_banded >= n_single
+    # every single-band pair is also found by the banded variant
+    assert banded.join(single, ["id_a", "id_b"], "left_semi").count() == n_single
+    # banded output has no duplicate pairs (cross-band collisions deduped)
+    assert banded.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
+
+
 def test_image_features_stub_plumbing(spark):
     import pandas as pd
 

@@ -296,3 +296,72 @@ def test_result_cache_ttl_expiry(spark, dirs):
     except FileNotFoundError:
         n_exp = 0
     assert n_exp == 0
+
+
+def test_rendered_keys_compaction(spark, dirs):
+    """Index compaction (result-cache index maintenance): folding the
+    per-batch rendered_keys dirs into one distinct parquet must preserve
+    the key set (identical anti-join skip behavior), shrink the dir count,
+    keep row-level TTL semantics, and keep folding post-compaction batches."""
+    from imagor_spark.engine.transform import transform
+
+    sink = IdempotentSink(dirs["out"], rendered_compact_every=0)  # manual
+    # 4 index-disjoint mini-batches through the real sink path
+    for i in range(4):
+        pdf = make_pdf(42, range(i * 8, i * 8 + 8), False)
+        clips = spark.createDataFrame(pdf, schema=CLIPS_SCHEMA)
+        batch = transform(clips, secret=SECRET, allow_unsafe=True)
+        sink(batch, i)
+    keys_before = sorted(
+        r["result_key"] for r in sink.read_rendered_keys(spark).collect()
+    )
+    assert len(keys_before) > 0
+    assert sink._n_rendered_batch_dirs() == 4
+    n = sink.compact_rendered_keys(spark)
+    assert n == len(set(keys_before))
+    # fewer input dirs: batch dirs folded away, one compact dir + manifest
+    assert sink._n_rendered_batch_dirs() == 0
+    assert sink._read_compact_manifest() is not None
+    keys_after = sorted(
+        r["result_key"] for r in sink.read_rendered_keys(spark).collect()
+    )
+    assert keys_after == sorted(set(keys_before))
+    # row-level TTL survives compaction: everything fresh now, nothing later
+    assert sink.read_rendered_keys(spark, max_age_ms=10**9).count() == n
+    import time as _time
+
+    later = int(_time.time() * 1000) + 60_000
+    assert sink.read_rendered_keys(spark, max_age_ms=1000, now_ms=later).count() == 0
+    # a post-compaction batch unions in via the batch-dir path...
+    pdf = make_pdf(42, range(500, 505), False)
+    clips = spark.createDataFrame(pdf, schema=CLIPS_SCHEMA)
+    sink(transform(clips, secret=SECRET, allow_unsafe=True), 4)
+    n_with_new = sink.read_rendered_keys(spark).count()
+    assert n_with_new > n
+    # ...and a second compaction folds it too (idempotent on re-run)
+    assert sink.compact_rendered_keys(spark) == n_with_new
+    assert sink.compact_rendered_keys(spark) == 0  # nothing new
+    assert sink.read_rendered_keys(spark).count() == n_with_new
+
+
+def test_rendered_keys_auto_compaction(spark, dirs):
+    """The sink auto-compacts once rendered_compact_every batch dirs
+    accumulate, and the anti-join skip behavior is unchanged afterwards."""
+    from imagor_spark.engine.transform import skip_rendered, transform
+
+    sink = IdempotentSink(dirs["out"], rendered_compact_every=2)
+    all_clips = []
+    for i in range(3):
+        pdf = make_pdf(42, range(i * 6, i * 6 + 6), False)
+        clips = spark.createDataFrame(pdf, schema=CLIPS_SCHEMA)
+        all_clips.append(clips)
+        sink(transform(clips, secret=SECRET, allow_unsafe=True), i)
+    # 3 batches with every=2 → at least one auto-compaction fired
+    assert sink._read_compact_manifest() is not None
+    assert sink._n_rendered_batch_dirs() < 3
+    # identical skip behavior: every already-rendered clip is anti-joined out
+    union = all_clips[0]
+    for c in all_clips[1:]:
+        union = union.unionByName(c)
+    left = skip_rendered(union, sink.read_rendered_keys(spark))
+    assert left.count() == 0
