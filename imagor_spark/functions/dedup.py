@@ -166,7 +166,11 @@ def jaccard_pairs_pruned(
         .distinct()
     )
     pruned = docs.join(cand, "doc_id", "left_semi")
-    return jaccard_pairs(shingles(pruned, col, k), pairs)
+    # persist the PRUNED shingle table: the verification consumes it three
+    # times (A side, B side, sizes) and would otherwise re-pay the
+    # semi-join + explode per branch. Safe at 100 TB because candidates
+    # ≪ corpus by LSH construction — this is never the full shingle table.
+    return jaccard_pairs(shingles(pruned, col, k).persist(), pairs)
 
 
 def jaccard_pairs(

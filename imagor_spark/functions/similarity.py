@@ -154,6 +154,56 @@ def ivf_assign(
     )
 
 
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer (closes the
+    round-2 "k-means training deferred" gap). Spark-native shape:
+
+    * **init**: deterministic — the k vectors with the smallest
+      ``md5(id)`` digests (a seedless pseudo-random sample any engine can
+      reproduce; no RNG state, stable under re-runs/retries);
+    * **assign**: :func:`ivf_assign` (JVM higher-order functions, narrow);
+    * **update**: ``posexplode`` the vectors of each cell →
+      ``groupBy(cell, pos).avg`` — the standard scalable centroid update
+      (one shuffle of (cell, pos, partial-sum) pairs, map-side combined;
+      at a billion vectors this is exactly the MLlib layout);
+    * only ``k × dim`` floats ever reach the driver per iteration.
+
+    Empty cells keep their previous centroid (standard Lloyd's fallback).
+    Returns the trained centroids as plain lists (broadcastable literals).
+    """
+    md5_order = F.md5(F.col(id_col).cast("string"))
+    init_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(md5_order, F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init_rows]
+    for _ in range(n_iters):
+        assigned = ivf_assign(df, centroids, vec_col=vec_col)
+        # centroid update: explode to (cell, pos, val), partial-agg per cell
+        new_rows = (
+            assigned.select("ivf_cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in new_rows:
+            by_cell.setdefault(int(r["ivf_cell"]), [0.0] * dim)[int(r["pos"])] = float(
+                r["mean"]
+            )
+        centroids = [by_cell.get(c, centroids[c]) for c in range(k)]
+    return centroids
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -399,6 +399,27 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF plane: distributed Lloyd's k-means (deterministic
+    md5-ordered init, posexplode centroid update) then per-cell populations
+    of the TRAINED quantizer. Deliberately has NO SQL oracle: float
+    summation order differs across engines and k-means amplifies boundary
+    flips, so this is one of the documented rows-only checks (iterative
+    algorithm class); the math itself is pinned by the numpy-twin pytest
+    (`test_kmeans_train_converges`)."""
+    from ..functions.similarity import ivf_assign, kmeans_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cents = kmeans_train(emb, k=4, dim=dim, n_iters=3)
+    return (
+        ivf_assign(emb, cents)
+        .groupBy("ivf_cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("ivf_cell")
+    )
+
+
 ORACLE_IVF = """
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4
@@ -1133,6 +1154,7 @@ EXTRA_QUERIES = {
     "simhash": q_simhash,
     "similarity_topk": q_similarity_topk,
     "ivf_cells": q_ivf_cells,
+    "ivf_train": q_ivf_train,
     "streaming_tumbling_parity": q_streaming_tumbling,
     "events_sessionize": q_events_sessionize,
     "image_features": q_image_features,

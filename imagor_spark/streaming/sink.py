@@ -314,12 +314,18 @@ class IdempotentSink:
             union = union.unionByName(fr)
         compacted = union.groupBy("result_key").agg(
             F.max("committed_at_ms").alias("committed_at_ms")
-        )
+        ).persist()
+        n = compacted.count()
+        # file sizing: ~5M keys (~300 MB) per output file — ONE file for any
+        # sandbox-scale index, but never a single-file bottleneck at 10^12
+        # keys (the groupBy above already hash-partitioned by result_key;
+        # persist so the count and the write share one aggregation pass)
+        n_files = max(1, n // 5_000_000)
         new_upto = max(batch_ids) if batch_ids else prev_upto
         new_name = f"compact-{new_upto}"
         out_path = os.path.join(self.rendered_dir, new_name)
-        compacted.coalesce(1).write.mode("overwrite").parquet(out_path)
-        n = spark.read.parquet(out_path).count()
+        compacted.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+        compacted.unpersist()
         tmp = self._compact_manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"upto": new_upto, "name": new_name, "n_keys": n}, f)

@@ -191,6 +191,52 @@ def test_embedding_lsh_guard_and_bands(spark, emb):
     assert banded.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
 
 
+def test_kmeans_train_converges(spark):
+    """Lloyd's k-means (distributed assign/update) against a numpy twin:
+    deterministic md5 init, identical assignment after training on
+    well-separated synthetic clusters, empty-cell fallback keeps the
+    previous centroid."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from imagor_spark.functions.similarity import ivf_assign, kmeans_train
+
+    # 3 well-separated 8-dim clusters, 30 points each, deterministic
+    rng = np.random.Generator(np.random.Philox(7))
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.3, (30, 8)) for c in centers]
+    ).astype(float)
+    pdf = pd.DataFrame(
+        {"vec_id": range(90), "embedding": [list(r) for r in pts]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = kmeans_train(df, k=3, dim=8, n_iters=4)
+
+    # numpy twin with the SAME deterministic init (md5 of str(id), top-3)
+    order = sorted(range(90), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = pts[order[:3]].copy()
+    for _ in range(4):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(3):
+            if (assign == c).any():
+                cents[c] = pts[assign == c].mean(0)
+    assert np.allclose(np.array(got), cents, atol=1e-6)
+    # trained centroids ≈ the true cluster centers (order-free)
+    match = ((np.array(got)[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
+    assert (match < 0.1).all()
+    # every point lands with its own cluster-mates
+    out = ivf_assign(df, got).select("vec_id", "ivf_cell").collect()
+    cells = {}
+    for r in out:
+        cells.setdefault(r["vec_id"] // 30, set()).add(r["ivf_cell"])
+    assert all(len(v) == 1 for v in cells.values())
+    assert len({next(iter(v)) for v in cells.values()}) == 3
+
+
 def test_image_features_stub_plumbing(spark):
     import pandas as pd
 
