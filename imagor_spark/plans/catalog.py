@@ -436,6 +436,36 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (north_rule names tumbling/sliding/session): 10-min
+    windows sliding every 5 — each event lands in exactly two windows; the
+    DuckDB oracle replicates the assignment with a 2-row series join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes")
+            .getField("start")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_SLIDING = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) - (j * INTERVAL '5 minutes') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS j)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------- streaming parity
 
 
@@ -1155,6 +1185,7 @@ EXTRA_QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ivf_cells": q_ivf_cells,
     "ivf_train": q_ivf_train,
+    "events_sliding_window": q_events_sliding_window,
     "streaming_tumbling_parity": q_streaming_tumbling,
     "events_sessionize": q_events_sessionize,
     "image_features": q_image_features,
@@ -1187,6 +1218,7 @@ def extra_oracles() -> dict[str, str]:
         "simhash": ORACLE_SIMHASH,
         "similarity_topk": ORACLE_SIM_TOPK,
         "ivf_cells": ORACLE_IVF,
+        "events_sliding_window": ORACLE_SLIDING,
         "streaming_tumbling_parity": ORACLE_STREAM_TUMBLING,
         "events_sessionize": ORACLE_SESSIONIZE,
         "image_features": ORACLE_IMAGE_DIMS,

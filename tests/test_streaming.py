@@ -148,6 +148,27 @@ def test_tumbling_and_session_windows_streaming(spark, dirs):
     # presence + shape is the assertion
     assert all(r["n_clips"] >= 1 for r in rows)
 
+    # sliding windows: 2-min windows sliding 1 min — every clip must land
+    # in exactly two windows, so total n_clips across windows = 2× rows seen
+    from imagor_spark.streaming.windows import sliding_agg
+
+    slid = sliding_agg(
+        build_stream(spark, dirs["in"], secret=SECRET, allow_unsafe=True,
+                     watermark="5 minutes", for_aggregation=True)
+    )
+    q_s = (
+        slid.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_out")
+        .option("checkpointLocation", dirs["ckpt"] + "-sl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_s.awaitTermination()
+    total = spark.sql("SELECT SUM(n_clips) s FROM slide_out").first()["s"]
+    n_in = spark.read.parquet(dirs["in"]).dropDuplicates(["clip_id"]).count()
+    assert total == 2 * n_in
+
     sess = session_agg(build_stream(spark, dirs["in"], secret=SECRET, allow_unsafe=True, watermark="5 minutes", for_aggregation=True))
     q2 = (
         sess.writeStream.outputMode("append")
