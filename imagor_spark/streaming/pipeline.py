@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..engine.config import CONFIG_SCHEMA, DEFAULT_CONFIG_ROWS
 from ..engine.transform import make_transform_fn, OUTPUT_SCHEMA
 from ..sources.clips import CLIPS_SCHEMA
 from .sink import IdempotentSink
@@ -110,6 +111,140 @@ def build_stream(
     return out
 
 
+def build_raw_stream(
+    spark,
+    input_dir: str,
+    watermark: str = "10 minutes",
+    dedup: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Source → watermark → stateful dedup, NO transform: the render plane
+    runs per-batch inside :class:`TransformingSink` instead, so each
+    micro-batch re-resolves the committed result-cache index and admission
+    config (the reference probes result storage per request,
+    imagor.go:403-408 — a snapshot taken once at stream start would miss
+    keys committed mid-stream and re-render duplicates)."""
+    reader = spark.readStream.schema(CLIPS_SCHEMA)
+    if max_files_per_trigger:
+        # admission control ≅ ProcessConcurrency/ProcessQueueSize semaphores
+        # (imagor.go:134-137,409-427): bound in-flight work per trigger
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir).withWatermark("ingest_ts", watermark)
+    if dedup:
+        # singleflight / single-render-per-key (imagor.go:842-884): a
+        # duplicate clip_id must never pay the render
+        stream = stream.dropDuplicatesWithinWatermark(["clip_id"])
+    return stream
+
+
+class TransformingSink(IdempotentSink):
+    """The request lifecycle (imagor.go:275-540) executed INSIDE foreachBatch:
+
+      batch → result-cache anti-join (index re-read THIS batch)
+            → admission (broadcast config dim, quarantine pre-decode)
+            → salted repartition (optional)
+            → decode→ops→encode transform
+            ∪ quarantined rows
+            → exactly-once commit (IdempotentSink)
+
+    Re-reading the committed rendered-keys index per micro-batch is the
+    live result-cache economy: a key committed by batch N skips render in
+    batch N+1 of the SAME continuous stream (no restart needed) — matching
+    the reference's per-request result-storage probe (imagor.go:403-408,
+    loadResult :600-664). It also removes the stale-lazy-plan hazard where
+    index compaction deleted parquet dirs still referenced by a plan built
+    at stream start: every batch plans against the current manifest, and
+    compaction only runs after the batch that triggered it has committed.
+
+    Admission (≅ CheckResolution processor.go:506-516 + the loader
+    resolution chain imagor.go:699-760): the per-codec config dimension is
+    broadcast-joined against the batch; unknown codecs → ``not_found``,
+    over-limit duration/rate → ``resolution_bomb`` — quarantined BEFORE any
+    payload byte is decoded. Scale shape: the dimension is tiny (one row
+    per codec) so the join is a broadcast, and the quarantine branch reads
+    only pruned metadata columns — payloads cross the wire once, in the
+    admitted branch.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        transform_fn,
+        partition_by: str | None = "codec",
+        rendered_compact_every: int = 32,
+        result_cache: IdempotentSink | None = None,
+        result_cache_max_age_ms: int | None = None,
+        admission_rows: list | None = None,
+        admission_schema: str = CONFIG_SCHEMA,
+        salt_partitions: int | None = None,
+    ):
+        super().__init__(
+            out_dir,
+            partition_by=partition_by,
+            rendered_compact_every=rendered_compact_every,
+        )
+        self.transform_fn = transform_fn
+        self.result_cache = result_cache
+        self.result_cache_max_age_ms = result_cache_max_age_ms
+        self.admission_rows = admission_rows
+        self.admission_schema = admission_schema
+        self.salt_partitions = salt_partitions
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed batch: effect already visible → exactly-once
+        from ..engine.transform import skip_rendered, with_result_key
+
+        spark = batch_df.sparkSession
+        if self.result_cache is not None:
+            # FRESH read of the committed index — sees keys committed by
+            # earlier batches of this very stream (live cache refresh).
+            # The compacted index is small relative to the stream (TTL-
+            # bounded), so Spark plans a broadcast anti-join — payloads
+            # never shuffle for cache-hit checks.
+            rendered = self.result_cache.read_rendered_keys(
+                spark, max_age_ms=self.result_cache_max_age_ms
+            )
+            batch_df = skip_rendered(batch_df, rendered)
+        rejected_out = None
+        if self.admission_rows is not None:
+            from ..engine.config import resolve_with_config, split_admitted
+
+            cfg = spark.createDataFrame(self.admission_rows, self.admission_schema)
+            admitted, rejected = split_admitted(
+                resolve_with_config(batch_df, cfg)
+            )
+            batch_df = admitted
+            # quarantine rows take the OUTPUT schema without ever touching
+            # the payload column (column-pruned scan: clip_id/ops/transcript
+            # /ingest_ts only); result_key is still derived so quarantined
+            # requests are traceable by the same key as renders
+            rejected_out = with_result_key(rejected).select(
+                "clip_id",
+                "result_key",
+                F.lit(b"").alias("bytes"),
+                F.lit(0).alias("sr_hz"),
+                F.lit(0).alias("dur_ms"),
+                F.lit(0).alias("n_samples"),
+                F.lit("").alias("codec"),
+                "transcript",
+                "ingest_ts",
+                F.col("admit_status").alias("status"),
+                F.lit("").alias("meta"),
+                "ops",
+            )
+        if self.salt_partitions:
+            batch_df = batch_df.repartition(
+                self.salt_partitions,
+                F.col("codec"),
+                F.pmod(F.hash("clip_id"), F.lit(self.salt_partitions)),
+            )
+        out = batch_df.mapInPandas(self.transform_fn, schema=OUTPUT_SCHEMA)
+        if rejected_out is not None:
+            out = out.unionByName(rejected_out)
+        self._commit(out, batch_id)
+
+
 def run_to_sink(
     result_stream: DataFrame,
     out_dir: str,
@@ -145,25 +280,45 @@ def run_pipeline(
     allow_unsafe: bool | None = None,
     result_cache_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    result_cache_max_age_ms: int | None = None,
+    admission: bool = True,
 ):
     """End-to-end: build, sink, (optionally) wait for availableNow drain.
 
-    ``result_cache_dir``: a prior run's sink directory; its committed
-    rendered-keys index is anti-joined upstream of the transform, so a
-    re-run / backfill / fresh-checkpoint restart over already-rendered
-    clips renders nothing (pass ``out_dir`` itself to resume-with-cache)."""
+    ``result_cache_dir``: a sink directory whose committed rendered-keys
+    index is anti-joined against each batch BEFORE the transform — re-read
+    per micro-batch, so keys committed mid-stream (including by this very
+    stream when ``result_cache_dir == out_dir``, the resume-with-cache
+    pattern) are seen without a restart.
+
+    ``admission``: broadcast-join the per-codec config dimension and
+    quarantine unknown-codec / over-limit rows pre-decode (the reference's
+    CheckResolution + loader resolution chain)."""
     configure_streaming(spark, use_rocksdb)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
-    rendered = None
-    if result_cache_dir:
-        rendered = IdempotentSink(result_cache_dir).read_rendered_keys(spark)
-    result = build_stream(
-        spark, input_dir, secret=secret, watermark=watermark,
-        dedup=dedup, salt_partitions=salt_partitions, assets=assets,
-        allow_unsafe=allow_unsafe, rendered_keys=rendered,
+    b_assets = spark.sparkContext.broadcast(assets) if assets else None
+    fn = make_transform_fn(secret, b_assets, allow_unsafe=allow_unsafe)
+    sink = TransformingSink(
+        out_dir,
+        transform_fn=fn,
+        result_cache=(
+            IdempotentSink(result_cache_dir) if result_cache_dir else None
+        ),
+        result_cache_max_age_ms=result_cache_max_age_ms,
+        admission_rows=DEFAULT_CONFIG_ROWS if admission else None,
+        salt_partitions=salt_partitions,
+    )
+    stream = build_raw_stream(
+        spark, input_dir, watermark=watermark, dedup=dedup,
         max_files_per_trigger=max_files_per_trigger,
     )
-    q, sink = run_to_sink(result, out_dir, checkpoint_dir)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
     if wait:
         q.awaitTermination()
     return q, sink

@@ -95,6 +95,11 @@ class IdempotentSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
             return  # replayed batch: effect already visible → exactly-once
+        self._commit(batch_df, batch_id)
+
+    def _commit(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Write data + side tables, then the marker (caller has already
+        checked ``is_committed``)."""
         t0 = time.time()
         spark = batch_df.sparkSession
         # provenance columns materialized in the SINGLE payload pass:
@@ -177,9 +182,15 @@ class IdempotentSink:
         os.replace(tmp, self._marker(batch_id))
         # periodic index compaction: a long-running pipeline otherwise grows
         # one rendered_keys/batch-* parquet dir per batch forever, and the
-        # anti-join's build side becomes thousands of small files
+        # anti-join's build side becomes thousands of small files. The batch
+        # data is already committed (marker above), so a failure in this
+        # non-essential index maintenance must not fail the streaming query —
+        # the next commit retries it.
         if self.rendered_compact_every and self._n_rendered_batch_dirs() >= self.rendered_compact_every:
-            self.compact_rendered_keys(spark)
+            try:
+                self.compact_rendered_keys(spark)
+            except Exception as exc:  # pragma: no cover - transient FS/Spark
+                print(f"[sink] rendered-keys compaction deferred: {exc}")
 
     # ---- reader side: only committed batches are visible
 

@@ -10,7 +10,13 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from imagor_spark.sources.clips import CLIPS_SCHEMA, SECRET, generate_clips_df, make_pdf
+from imagor_spark.sources.clips import (
+    CLIPS_SCHEMA,
+    SECRET,
+    generate_clips_df,
+    make_pdf,
+    make_row,
+)
 from imagor_spark.streaming.pipeline import build_stream, configure_streaming, run_pipeline
 from imagor_spark.streaming.sink import IdempotentSink
 from imagor_spark.streaming.windows import batch_sessionize, session_agg, tumbling_agg
@@ -241,6 +247,76 @@ def test_result_cache_skips_already_rendered(spark, dirs):
     out3_rows = sink3.read_committed(spark)
     assert out3_rows.count() == 10
     assert out3_rows.filter(~out3_rows.clip_id.rlike("^clip0000(10[0-9])")).count() == 0
+
+
+def test_live_stream_sees_midstream_commits(spark, dirs):
+    """ONE continuous stream, two triggers (maxFilesPerTrigger=1): clips in
+    trigger 2 that duplicate trigger 1's result keys (different clip_ids,
+    same ops → same canonical path → same key) must render 0 times WITHOUT
+    a restart — the rendered-keys index is re-read per micro-batch
+    (imagor.go:403-408 probes result storage per request)."""
+    import pandas as pd
+
+    def ops_clips(prefix, n):
+        rows = []
+        for i in range(n):
+            base = make_row(42, i, "unsafe")
+            base["clip_id"] = f"{prefix}{i:04d}"
+            base["ops"] = f"unsafe/fit-in/{8000 + i}x0/shared{i}"
+            rows.append(base)
+        return pd.DataFrame(rows)
+
+    # two single-file parquet waves → two micro-batches; wave B duplicates
+    # wave A's result keys
+    for wave in (ops_clips("orig", 10), ops_clips("dupe", 10)):
+        spark.createDataFrame(wave, schema=CLIPS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(dirs["in"])
+    q, sink = run_pipeline(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
+        allow_unsafe=True, wait=True, result_cache_dir=dirs["out"],
+        max_files_per_trigger=1,
+    )
+    assert len(sink.committed_batches()) == 2  # genuinely two triggers
+    out = sink.read_committed(spark)
+    # 20 distinct clip_ids in, but only the 10 distinct result keys render:
+    # the second trigger's duplicates were anti-joined out mid-stream
+    assert out.count() == 10
+    assert out.select("result_key").distinct().count() == 10
+
+
+def test_admission_quarantines_before_decode(spark, dirs):
+    """Admission plane wired into run_pipeline (≅ CheckResolution
+    processor.go:506-516 + resolution chain imagor.go:699-760): an
+    over-limit clip and an unknown-codec clip are quarantined BEFORE decode
+    — the bomb row carries a garbage payload that would raise decode_error
+    if the decoder ever touched it."""
+    import pandas as pd
+
+    pdf = make_pdf(42, range(0, 10), signed_mix=False)
+    bomb = pdf.iloc[[0]].copy()
+    bomb["clip_id"] = "bomb0001"
+    bomb["ops"] = "unsafe/fit-in/12345x0/bomb0001"
+    bomb["dur_ms"] = 7_200_000  # > every configured max_dur_ms
+    bomb["bytes"] = [b"RIFFgarbage-not-decodable" * 3]
+    unknown = pdf.iloc[[1]].copy()
+    unknown["clip_id"] = "noloader1"
+    unknown["codec"] = "opus"  # no config row → not_found
+    write_pdf(spark, dirs["in"], pd.concat([pdf, bomb, unknown]))
+    q, sink = run_pipeline(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
+        allow_unsafe=True, wait=True,
+    )
+    out = sink.read_committed(spark)
+    by_id = {r["clip_id"]: r for r in out.collect()}
+    assert by_id["bomb0001"]["status"] == "resolution_bomb"  # NOT decode_error
+    assert by_id["bomb0001"]["bytes"] in (None, b"")
+    assert by_id["noloader1"]["status"] == "not_found"
+    assert out.filter(out.status == "ok").count() == 10
+    # quarantined rows are NOT in the rendered-keys index (re-submission
+    # after a config fix must render, not cache-hit)
+    keys = {r["result_key"] for r in sink.read_rendered_keys(spark).collect()}
+    assert by_id["bomb0001"]["result_key"] not in keys
 
 
 def test_stateful_running_totals_resume(spark, dirs):
