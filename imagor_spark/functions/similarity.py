@@ -185,6 +185,11 @@ def kmeans_train(
         .limit(k)
         .collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_train: k={k} but only {len(init_rows)} rows available — "
+            f"reduce k or provide more vectors"
+        )
     centroids = [list(map(float, r[vec_col])) for r in init_rows]
     for _ in range(n_iters):
         assigned = ivf_assign(df, centroids, vec_col=vec_col)
@@ -204,6 +209,131 @@ def kmeans_train(
     return centroids
 
 
+def _plan_row_estimate(df: DataFrame) -> int | None:
+    """Row-count estimate from Catalyst plan statistics (free — no job).
+    Returns None when the optimizer has no row count (e.g. plain file scan
+    without ANALYZE/CBO stats)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            return int(row_count.get().toString())
+    except Exception:
+        pass
+    return None
+
+
+def parquet_row_count(path: str) -> int | None:
+    """Exact row count from parquet FOOTERS (driver-side metadata read, no
+    Spark job, no data pages) — the cheap ``n_rows`` source for the
+    :func:`embedding_near_dups` guard. Accepts a single file or a
+    directory of part files."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def quantized_vec(vec_col: str = "embedding", scale: int = 1000) -> Column:
+    """``floor(double(x) * scale)`` per component — an integer lattice
+    projection that is EXACT and engine-portable: float32→double is exact,
+    the double multiply is correctly rounded identically everywhere, and
+    floor has no tie cases (unlike round's half-way ties)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+
+
+def ivf_assign_quantized(
+    df: DataFrame, centroids: list[list[int]], qvec_col: str = "qvec"
+) -> DataFrame:
+    """IVF coarse assignment on the integer lattice: argmin of int64 L2
+    distances (first-min tie-break = lowest cell id). Same narrow JVM
+    higher-order-function shape as :func:`ivf_assign`, but every distance
+    is exact integer arithmetic any engine replays bit-identically."""
+    cents = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(qvec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return df.withColumn(
+        "ivf_cell", F.array_position(dists, F.array_min(dists)) - 1
+    )
+
+
+def kmeans_train_quantized(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> list[list[int]]:
+    """Lloyd's k-means on the quantized integer lattice — the ORACLE-
+    CHECKABLE twin of :func:`kmeans_train` (which stays the production
+    float path): every step is exact integer/floor arithmetic, so a SQL
+    engine can replay the full training unrolled and hash-match the result
+    (erasing the "iterative float algorithms are rows-only" exemption).
+
+    * init — the k vectors with smallest ``md5(cast(id as string))``
+      (seedless deterministic sample, same as the float path);
+    * assign — :func:`ivf_assign_quantized` (int64 L2, first-min
+      tie-break);
+    * update — ``floor(sum/count)`` per (cell, component): double division
+      of int64 sums is correctly rounded and the quotient is never within
+      1/count of an integer unless exact, so the floor is the exact
+      floor-division in ANY engine;
+    * empty cells keep their previous centroid.
+
+    Same scale shape as the float path: one map-side-combined shuffle per
+    iteration, k×dim ints to the driver.
+    """
+    q = df.select(F.col(id_col), quantized_vec(vec_col, scale).alias("qvec"))
+    init_rows = (
+        q.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_train_quantized: k={k} but only {len(init_rows)} rows"
+        )
+    cents = [list(map(int, r["qvec"])) for r in init_rows]
+    for _ in range(n_iters):
+        assigned = ivf_assign_quantized(q, cents)
+        rows = (
+            assigned.select("ivf_cell", F.posexplode("qvec").alias("pos", "val"))
+            .groupBy("ivf_cell", "pos")
+            .agg(F.floor(F.sum("val") / F.count("*")).cast("long").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["ivf_cell"]), {})[int(r["pos"])] = int(r["m"])
+        cents = [
+            [by_cell.get(c, {}).get(p, cents[c][p]) for p in range(dim)]
+            for c in range(k)
+        ]
+    return cents
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,
@@ -213,6 +343,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     bands: int = 1,
     max_avg_bucket: int | None = 20_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector leg of the dedup
     plane: random-hyperplane LSH bucketing prunes the O(n²) pair space to
@@ -234,9 +365,17 @@ def embedding_near_dups(
     ``bands`` > 1 = banded multi-table LSH (the MinHash band construction):
     each band hashes with an independent plane family; candidates are the
     UNION of same-bucket pairs across bands — more planes per band keeps
-    buckets (and the join) small while the union keeps recall."""
+    buckets (and the join) small while the union keeps recall.
+
+    ``n_rows``: known/estimated row count for the guard. When provided (or
+    derivable from plan statistics), the guard costs ZERO jobs; when
+    neither is available the guard falls back to an eager ``df.count()`` —
+    at 100 TB callers should always pass ``n_rows`` (one footer read /
+    catalog stat) rather than pay a full scan to validate a config value."""
     if max_avg_bucket is not None:
-        n = df.count()
+        n = n_rows if n_rows is not None else _plan_row_estimate(df)
+        if n is None:
+            n = df.count()
         avg_bucket = n / float(2**n_planes)
         if avg_bucket > max_avg_bucket:
             raise ValueError(

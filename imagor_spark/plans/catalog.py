@@ -348,10 +348,15 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rerank; per-bucket pair counts above threshold. The oracle
     replicates the md5-deterministic hyperplanes as SQL array literals, so
     the bucket assignment AND the cosine rerank are engine-portable."""
-    from ..functions.similarity import embedding_near_dups
+    from ..functions.similarity import embedding_near_dups, parquet_row_count
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_near_dups(emb, dim=64, threshold=0.2, n_planes=4)
+    # guard row count from parquet footers (driver-side metadata, zero
+    # Spark jobs) — the r3 eager df.count() was a full scan per call
+    pairs = embedding_near_dups(
+        emb, dim=64, threshold=0.2, n_planes=4,
+        n_rows=parquet_row_count(f"{sf_dir}/embeddings.parquet"),
+    )
     # compare id PAIRS only: raw cosines differ between engines at ~1e-6
     # (float32 inputs, different summation order); the 0.2 threshold has a
     # verified 3e-5 margin at sf0.01 so the membership SET is engine-stable
@@ -400,23 +405,106 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-IVF plane: distributed Lloyd's k-means (deterministic
-    md5-ordered init, posexplode centroid update) then per-cell populations
-    of the TRAINED quantizer. Deliberately has NO SQL oracle: float
-    summation order differs across engines and k-means amplifies boundary
-    flips, so this is one of the documented rows-only checks (iterative
-    algorithm class); the math itself is pinned by the numpy-twin pytest
-    (`test_kmeans_train_converges`)."""
-    from ..functions.similarity import ivf_assign, kmeans_train
+    """Trained-IVF plane, HASH-CHECKED: distributed Lloyd's k-means on the
+    quantized integer lattice (md5-ordered init, posexplode floor-division
+    centroid update — every step exact integer arithmetic), then per-cell
+    populations of the TRAINED quantizer. The quantization erases the r3
+    "iterative float algorithm → rows-only" exemption: the DuckDB oracle
+    replays all 3 training iterations unrolled as CTEs and must match
+    bit-for-bit. The float production path (`kmeans_train`) stays pinned by
+    its numpy-twin pytest."""
+    from ..functions.similarity import (
+        ivf_assign_quantized,
+        kmeans_train_quantized,
+        quantized_vec,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
-    cents = kmeans_train(emb, k=4, dim=dim, n_iters=3)
+    cents = kmeans_train_quantized(emb, k=4, dim=dim, n_iters=3)
+    q = emb.select("vec_id", quantized_vec("embedding").alias("qvec"))
     return (
-        ivf_assign(emb, cents)
+        ivf_assign_quantized(q, cents)
         .groupBy("ivf_cell")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("ivf_cell")
+    )
+
+
+def oracle_ivf_train(k: int = 4, dim: int = 64, n_iters: int = 3, scale: int = 1000) -> str:
+    """Generate the unrolled Lloyd's replay for DuckDB: quantize → md5
+    init → n_iters × (integer-L2 argmin assign + floor-division centroid
+    update with empty-cell fallback) → final assign → per-cell counts.
+    Exact integer arithmetic throughout — hash-matches the Spark result."""
+    ctes = [
+        # (vec_id, pos, val) on the integer lattice; CAST to DOUBLE first so
+        # the multiply is double-precision like Spark's (FLOAT*1000 in
+        # DuckDB would stay float32 and floor differently)
+        f"""q AS (
+      SELECT vec_id, i.i AS pos,
+             CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * {scale}) AS BIGINT) AS val
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {dim})) AS i) i
+    )""",
+        f"""seeds AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid < {k}
+    )""",
+        """c0 AS (
+      SELECT s.cid, q.pos, q.val FROM seeds s JOIN q ON q.vec_id = s.vec_id
+    )""",
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (
+      SELECT q.vec_id, c.cid, SUM((q.val - c.val) * (q.val - c.val)) AS d
+      FROM q JOIN {prev} c ON c.pos = q.pos
+      GROUP BY q.vec_id, c.cid
+    )"""
+        )
+        ctes.append(
+            f"""b{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+        FROM a{it}
+      ) WHERE rk = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+      SELECT p.cid, p.pos, COALESCE(u.val, p.val) AS val
+      FROM {prev} p LEFT JOIN (
+        SELECT b.cid, q.pos,
+               CAST(FLOOR(CAST(SUM(q.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+        FROM b{it} b JOIN q ON q.vec_id = b.vec_id
+        GROUP BY b.cid, q.pos
+      ) u ON u.cid = p.cid AND u.pos = p.pos
+    )"""
+        )
+    fin = n_iters + 1
+    ctes.append(
+        f"""a{fin} AS (
+      SELECT q.vec_id, c.cid, SUM((q.val - c.val) * (q.val - c.val)) AS d
+      FROM q JOIN c{n_iters} c ON c.pos = q.pos
+      GROUP BY q.vec_id, c.cid
+    )"""
+    )
+    ctes.append(
+        f"""b{fin} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+        FROM a{fin}
+      ) WHERE rk = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT cid AS ivf_cell, COUNT(*) AS n_vectors FROM b{fin} GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -1218,6 +1306,7 @@ def extra_oracles() -> dict[str, str]:
         "simhash": ORACLE_SIMHASH,
         "similarity_topk": ORACLE_SIM_TOPK,
         "ivf_cells": ORACLE_IVF,
+        "ivf_train": oracle_ivf_train(),
         "events_sliding_window": ORACLE_SLIDING,
         "streaming_tumbling_parity": ORACLE_STREAM_TUMBLING,
         "events_sessionize": ORACLE_SESSIONIZE,

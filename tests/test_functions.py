@@ -191,6 +191,26 @@ def test_embedding_lsh_guard_and_bands(spark, emb):
     assert banded.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
 
 
+def test_embedding_guard_without_eager_count(spark, emb):
+    """The bucket-size guard must not cost a full scan: a caller-provided
+    ``n_rows`` (or parquet-footer count) drives the guard with zero Spark
+    jobs — same accept/reject behavior as the counted path."""
+    from imagor_spark.functions.similarity import embedding_near_dups, parquet_row_count
+
+    n_footer = parquet_row_count("/root/testdata/sf0.001/embeddings.parquet")
+    assert n_footer == emb.count()  # footers are exact, not an estimate
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    with pytest.raises(ValueError, match="guard|n_planes"):
+        embedding_near_dups(emb, dim=64, n_planes=1, max_avg_bucket=10,
+                            n_rows=n_footer)
+    lazy = embedding_near_dups(emb, dim=64, threshold=0.2, n_planes=4,
+                               max_avg_bucket=10_000, n_rows=n_footer)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before  # guard + plan construction ran 0 jobs
+    assert lazy.count() > 0  # and the plan itself still works
+
+
 def test_kmeans_train_converges(spark):
     """Lloyd's k-means (distributed assign/update) against a numpy twin:
     deterministic md5 init, identical assignment after training on
@@ -235,6 +255,54 @@ def test_kmeans_train_converges(spark):
         cells.setdefault(r["vec_id"] // 30, set()).add(r["ivf_cell"])
     assert all(len(v) == 1 for v in cells.values())
     assert len({next(iter(v)) for v in cells.values()}) == 3
+
+
+def test_kmeans_quantized_matches_integer_twin(spark):
+    """The oracle-checkable quantized Lloyd's: exact integer arithmetic vs
+    a numpy integer twin (floor quantize, int64 L2, first-min tie-break,
+    floor-division update), and k > n raises cleanly (not IndexError)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from imagor_spark.functions.similarity import (
+        ivf_assign_quantized,
+        kmeans_train,
+        kmeans_train_quantized,
+        quantized_vec,
+    )
+
+    rng = np.random.Generator(np.random.Philox(11))
+    centers = np.array([[3.0] * 6, [-3.0] * 6, [3.0] * 3 + [-3.0] * 3])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.4, (20, 6)) for c in centers]
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [list(map(float, r)) for r in pts]})
+    df = spark.createDataFrame(pdf)
+    got = kmeans_train_quantized(df, k=3, dim=6, n_iters=3)
+
+    qpts = np.floor(pts.astype(np.float64) * 1000).astype(np.int64)
+    order = sorted(range(60), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = qpts[order[:3]].copy()
+    for _ in range(3):
+        d = ((qpts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)  # argmin takes first min = lowest cid
+        for c in range(3):
+            if (assign == c).any():
+                grp = qpts[assign == c]
+                cents[c] = np.floor(grp.sum(0) / len(grp)).astype(np.int64)
+    assert [list(map(int, c)) for c in cents] == got
+    # final assignment agrees too (what q_ivf_train hashes)
+    q = df.select("vec_id", quantized_vec("embedding").alias("qvec"))
+    out = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign_quantized(q, got).collect()}
+    dfin = ((qpts[:, None, :] - np.array(got)[None, :, :]) ** 2).sum(-1)
+    assert all(out[i] == int(dfin[i].argmin()) for i in range(60))
+    # k-validation (ADVICE r3): clear error, both trainers
+    with pytest.raises(ValueError, match="k=100"):
+        kmeans_train_quantized(df, k=100, dim=6)
+    with pytest.raises(ValueError, match="k=100"):
+        kmeans_train(df, k=100, dim=6)
 
 
 def test_image_features_stub_plumbing(spark):
