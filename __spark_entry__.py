@@ -23,25 +23,25 @@ SF0001 = "/root/testdata/sf0.001"
 
 # session-scoped share of the transformed frame: both audio queries read the
 # SAME persisted (payload-pruned) result, so a bench run renders the derived
-# clips once instead of once per query. Keyed by applicationId so a stale
-# frame from a stopped session is never reused.
-_AUDIO_CACHE: dict[tuple[str, str], DataFrame] = {}
+# clips once instead of once per query. Keyed by applicationId; stale
+# sessions' frames are evicted-and-unpersisted on access (SessionFrameCache).
+from imagor_spark.engine.session import SessionFrameCache
+
+_AUDIO_CACHE = SessionFrameCache()
 
 
 def _audio_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imagor_spark.engine.transform import transform
     from imagor_spark.sources.docs_clips import cached_clips
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _AUDIO_CACHE.get(key)
-    if df is None:
+    def build():
         clips = cached_clips(spark, sf_dir)
         res = transform(clips, secret="1234", allow_unsafe=True)
         # persist only the shape/status plane — payload bytes stay out of
         # the cache (the downstream queries never read them)
-        df = res.select("clip_id", "status", "codec", "sr_hz", "n_samples").persist()
-        _AUDIO_CACHE[key] = df
-    return df
+        return res.select("clip_id", "status", "codec", "sr_hz", "n_samples")
+
+    return _AUDIO_CACHE.get_or_create(spark, f"audio:{sf_dir}", build)
 
 
 def q_audio_pipeline_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,71 @@ import os
 from pyspark.sql import SparkSession
 
 
+class SessionFrameCache:
+    """Registry of persisted DataFrames keyed ``(applicationId, tag)`` with
+    stale-session eviction: any access first drops-and-unpersists entries
+    whose applicationId is not the caller's, so a long-lived driver process
+    that starts/stops sessions never accumulates dead persisted lineages
+    (the r3 ``_AUDIO_CACHE``/``_SIG_CACHE`` leak). ``max_per_app`` bounds
+    same-session entries FIFO — evicting only drops cached blocks; a lazy
+    plan still held by a consumer recomputes correctly."""
+
+    def __init__(self, max_per_app: int | None = None):
+        self._frames: dict[tuple[str, str], object] = {}
+        self.max_per_app = max_per_app
+        self._seq = 0
+
+    def _unpersist(self, df) -> None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped: JVM-side blocks are gone anyway
+
+    def evict_stale(self, current_app_id: str) -> int:
+        n = 0
+        for key in list(self._frames):
+            if key[0] != current_app_id:
+                self._unpersist(self._frames.pop(key))
+                n += 1
+        return n
+
+    def _bound(self, app_id: str) -> None:
+        if not self.max_per_app:
+            return
+        same = [k for k in self._frames if k[0] == app_id]
+        while len(same) >= self.max_per_app:
+            self._unpersist(self._frames.pop(same.pop(0)))
+
+    def get_or_create(self, spark, tag: str, builder):
+        """Return the persisted frame for ``tag``, building+persisting via
+        ``builder()`` on miss."""
+        app = spark.sparkContext.applicationId
+        self.evict_stale(app)
+        key = (app, tag)
+        df = self._frames.get(key)
+        if df is None:
+            self._bound(app)
+            df = builder().persist()
+            self._frames[key] = df
+        return df
+
+    def register(self, spark, tag_prefix: str, df):
+        """Track an already-persisted frame (unique key per call) so it is
+        unpersisted when the session goes stale or the per-app bound hits."""
+        app = spark.sparkContext.applicationId
+        self.evict_stale(app)
+        self._bound(app)
+        self._seq += 1
+        self._frames[(app, f"{tag_prefix}#{self._seq}")] = df
+        return df
+
+    def __contains__(self, key) -> bool:
+        return key in self._frames
+
+    def __len__(self) -> int:
+        return len(self._frames)
+
+
 def get_spark(
     app_name: str = "imagor-spark",
     master: str | None = None,

@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..engine.session import SessionFrameCache
 from .text import doc_fingerprint
+
+# bounded registry for per-call shingle persists (see jaccard_pairs_pruned)
+_PRUNED_SHINGLE_REGISTRY = SessionFrameCache(max_per_app=4)
 
 
 def exact_dups(df: DataFrame, col: str = "text") -> DataFrame:
@@ -170,7 +174,12 @@ def jaccard_pairs_pruned(
     # times (A side, B side, sizes) and would otherwise re-pay the
     # semi-join + explode per branch. Safe at 100 TB because candidates
     # ≪ corpus by LSH construction — this is never the full shingle table.
-    return jaccard_pairs(shingles(pruned, col, k).persist(), pairs)
+    # Tracked in a bounded session registry so repeated calls in a
+    # long-lived driver unpersist older shingle tables instead of
+    # accumulating cache blocks forever (evicted plans recompute lazily).
+    sh = shingles(pruned, col, k).persist()
+    _PRUNED_SHINGLE_REGISTRY.register(docs.sparkSession, "pruned_shingles", sh)
+    return jaccard_pairs(sh, pairs)
 
 
 def jaccard_pairs(

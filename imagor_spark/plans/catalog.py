@@ -117,21 +117,23 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lsh_candidates and jaccard_verify all consume the SAME persisted signature
 # table instead of re-deriving it from raw text per query (the signature
 # projection is the dominant cost of the dedup plane). Keyed by
-# applicationId so a stopped session's frame is never reused.
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+# applicationId; entries from stopped sessions are evicted-and-unpersisted
+# on access (SessionFrameCache) so a long-lived driver never leaks lineages.
+from ..engine.session import SessionFrameCache
+
+_SIG_CACHE = SessionFrameCache()
 
 
 def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import minhash_signatures_fused
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SIG_CACHE.get(key)
-    if df is None:
-        df = minhash_signatures_fused(
+    return _SIG_CACHE.get_or_create(
+        spark,
+        f"sig:{sf_dir}",
+        lambda: minhash_signatures_fused(
             _docs_spread(spark, sf_dir), "text", k=3, n_hashes=8
-        ).persist()
-        _SIG_CACHE[key] = df
-    return df
+        ),
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -223,3 +223,27 @@ def test_upload_ingestion(spark):
     # ingested rows run through the real pipeline
     out = transform(clips, secret=None)
     assert out.filter(out.status == "ok").count() == 1
+
+
+def test_session_frame_cache_evicts_stale(spark):
+    """SessionFrameCache (the shared lineage caches): entries from a stopped
+    session are dropped-and-unpersisted on the next access, and the per-app
+    FIFO bound unpersists the oldest same-session entry."""
+    from imagor_spark.engine.session import SessionFrameCache
+
+    cache = SessionFrameCache(max_per_app=2)
+    app = spark.sparkContext.applicationId
+    df1 = cache.get_or_create(spark, "t1", lambda: spark.range(10))
+    assert df1.storageLevel.useMemory  # persisted on create
+    # simulate a frame left behind by a stopped session
+    stale = spark.range(5).persist()
+    cache._frames[("app-dead", "old")] = stale
+    cache.get_or_create(spark, "t2", lambda: spark.range(20))
+    assert ("app-dead", "old") not in cache
+    assert not stale.storageLevel.useMemory  # unpersisted, not just dropped
+    # same-app FIFO bound: the third entry evicts (and unpersists) t1
+    df3 = cache.get_or_create(spark, "t3", lambda: spark.range(30))
+    assert (app, "t1") not in cache and not df1.storageLevel.useMemory
+    assert (app, "t2") in cache and (app, "t3") in cache
+    # cache hit returns the identical frame without invoking the builder
+    assert cache.get_or_create(spark, "t3", lambda: 1 / 0) is df3
