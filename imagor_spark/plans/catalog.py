@@ -633,6 +633,68 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows (availableNow) over the docs-derived
+    clip stream: ``session_window(ingest_ts, 10s)`` × codec. The derived
+    ingest pattern makes sessions analytically predictable — wav covers 14
+    consecutive seconds per 20 (6 s gaps < 10 s merge into ONE session),
+    flac 5-second runs every 20 (15 s gaps split), ogg single seconds every
+    20 (19 s gaps → singletons) — so the DuckDB oracle replays the session
+    assignment with lag/cumsum arithmetic and the result is hash-checked:
+    the streaming twin of the batch ``events_sessionize`` gate (closes the
+    r3 "sessions are ● only in batch" gap)."""
+    from ..sources.docs_clips import CLIPS_SCHEMA, cached_clips, clips_cache_dir
+
+    cached_clips(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
+        os.path.join(clips_cache_dir(sf_dir), "data")
+    )
+    agg = (
+        stream.withWatermark("ingest_ts", "5 minutes")
+        .groupBy(F.session_window("ingest_ts", "10 seconds").alias("sw"), "codec")
+        .agg(F.count("*").alias("n_clips"))
+        .select(
+            "codec",
+            F.col("sw").getField("start").alias("session_start"),
+            "n_clips",
+        )
+    )
+    qname = f"session_parity_{tag}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sess_parity_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}").orderBy("codec", "session_start")
+
+
+ORACLE_STREAM_SESSION = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 20 < 14 THEN 'wav'
+         WHEN doc_id % 20 < 19 THEN 'flac' ELSE 'ogg' END AS codec,
+    TIMESTAMP '2026-01-01 00:00:00' + (doc_id % 3600) * INTERVAL 1 SECOND AS ts
+  FROM documents
+), marked AS (
+  SELECT codec, ts,
+    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY codec ORDER BY ts)) >= 10
+         THEN 1 ELSE 0 END AS new_sess
+  FROM base
+), sess AS (
+  SELECT codec, ts,
+    SUM(new_sess) OVER (PARTITION BY codec ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT codec, MIN(ts) AS session_start, COUNT(*) AS n_clips
+FROM sess GROUP BY codec, sid ORDER BY codec, session_start
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization over events per user (lag+cumsum; gap 60 s)."""
     from pyspark.sql import Window
@@ -1277,6 +1339,7 @@ EXTRA_QUERIES = {
     "ivf_train": q_ivf_train,
     "events_sliding_window": q_events_sliding_window,
     "streaming_tumbling_parity": q_streaming_tumbling,
+    "streaming_session_parity": q_streaming_session_window,
     "events_sessionize": q_events_sessionize,
     "image_features": q_image_features,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1311,6 +1374,7 @@ def extra_oracles() -> dict[str, str]:
         "ivf_train": oracle_ivf_train(),
         "events_sliding_window": ORACLE_SLIDING,
         "streaming_tumbling_parity": ORACLE_STREAM_TUMBLING,
+        "streaming_session_parity": ORACLE_STREAM_SESSION,
         "events_sessionize": ORACLE_SESSIONIZE,
         "image_features": ORACLE_IMAGE_DIMS,
         "q3_shipping_priority": ORACLE_Q3,

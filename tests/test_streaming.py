@@ -462,3 +462,30 @@ def test_rendered_keys_auto_compaction(spark, dirs):
         union = union.unionByName(c)
     left = skip_rendered(union, sink.read_rendered_keys(spark))
     assert left.count() == 0
+
+
+def test_streaming_session_window_matches_batch_twin(spark):
+    """The streaming session_window parity query agrees with a batch
+    lag/cumsum sessionization of the same derived clip stream (same gap
+    semantics: new session when diff >= gap)."""
+    from pyspark.sql import Window
+
+    from imagor_spark.plans.catalog import q_streaming_session_window
+    from imagor_spark.sources.docs_clips import cached_clips
+
+    sf = "/root/testdata/sf0.001"
+    stream_out = q_streaming_session_window(spark, sf).collect()
+    clips = cached_clips(spark, sf)
+    w = Window.partitionBy("codec").orderBy("ingest_ts")
+    ep = F.col("ingest_ts").cast("double")
+    gap = F.when(ep - F.lag(ep).over(w) >= 10, 1).otherwise(0)
+    twin = (
+        clips.select("codec", "ingest_ts")
+        .withColumn("sid", F.sum(gap).over(w))
+        .groupBy("codec", "sid")
+        .agg(F.min("ingest_ts").alias("session_start"), F.count("*").alias("n_clips"))
+        .select("codec", "session_start", "n_clips")
+        .collect()
+    )
+    assert sorted(map(tuple, stream_out)) == sorted(map(tuple, twin))
+    assert len(stream_out) > 1  # non-degenerate: multiple sessions exist
