@@ -95,6 +95,9 @@ class ExportOpts:
     quality: int | None = None
     max_bytes: int = 0
     strip_metadata: bool = False
+    # attachment(filename) hoisted like the reference (imagor.go:312-338):
+    # None = no attachment filter; "" = present with derived filename
+    attachment: str | None = None
 
 
 @dataclass
@@ -136,9 +139,24 @@ def extract_export_opts(p: Params, source_codec: str) -> ExportOpts:
             opts.max_bytes = _i(flt.args, 0)
         elif flt.name in ("strip_metadata", "strip_exif", "strip_icc"):
             opts.strip_metadata = True
+        elif flt.name == "attachment":
+            opts.attachment = flt.args or ""
     if not opts.codec:
         opts.codec = codecs.supported_save_codec(source_codec)
     return opts
+
+
+def content_disposition(p: Params, opts: ExportOpts) -> str:
+    """Content-Disposition analogue for attachment() (imagor.go:312-338 +
+    the header write :927-946): filename = the filter arg, else the base
+    name of the source image path; an extension matching the output codec
+    is appended when missing; quotes/control chars are escaped."""
+    name = opts.attachment or (p.image or "").rsplit("/", 1)[-1] or "download"
+    if "." not in name and opts.codec:
+        name = f"{name}.{opts.codec}"
+    name = name.replace("\\", "\\\\").replace('"', '\\"')
+    name = "".join(c for c in name if c.isprintable())
+    return f'attachment; filename="{name}"'
 
 
 def _parse_focal_spans(args: str, dur_ms: float, sr: int) -> list[tuple[float, float]]:
@@ -737,6 +755,10 @@ def process(
             "source_codec": src_codec,
         }
     )
+    if opts.attachment is not None:
+        # disposition survives strip_metadata: it is response plumbing, not
+        # embedded metadata (the reference sets the header regardless)
+        meta["disposition"] = content_disposition(p, opts)
     if res.transcript_suffix and not opts.strip_metadata:
         meta["transcript_suffix"] = res.transcript_suffix
     if opts.strip_metadata:

@@ -186,7 +186,16 @@ def make_transform_fn(
                 out["n_samples"][i] = meta["n_samples"]
                 out["codec"][i] = meta["codec"]
                 out["status"][i] = STATUS_META if p.meta else STATUS_OK
-                out["meta"][i] = audio_apply.meta_json(meta) if p.meta else ""
+                if p.meta:
+                    out["meta"][i] = audio_apply.meta_json(meta)
+                elif "disposition" in meta:
+                    # attachment(): the Content-Disposition analogue rides
+                    # the meta column even for payload renders (the
+                    # reference sets the header on every response,
+                    # imagor.go:312-338,927-946)
+                    out["meta"][i] = audio_apply.meta_json(
+                        {"disposition": meta["disposition"]}
+                    )
             yield pd.DataFrame(out)
 
     return fn

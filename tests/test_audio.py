@@ -757,3 +757,53 @@ def test_watermark_ratio_resize():
     assert not np.allclose(half.pcm[0, seg], base[seg])  # overlay present
     assert np.allclose(plain.pcm[0, seg], base[seg])  # plain overlay ended
     assert half.pcm.shape[1] == len(base)
+
+
+def test_attachment_disposition():
+    """attachment() hoisted like the reference (imagor.go:312-338,927-946):
+    Content-Disposition analogue in meta — explicit filename, derived
+    filename + output-codec extension, quote escaping, and survival under
+    strip_metadata (it is response plumbing, not embedded metadata)."""
+    from imagor_spark.audio.apply import ExportOpts, content_disposition
+
+    pcm = synth_pcm(1, 1, 8000, 300)
+    blob = codecs.encode(pcm, 8000, "wav")
+    _, meta = process(blob, parse("unsafe/filters:attachment(my_talk.wav)/clip1"))
+    assert meta["disposition"] == 'attachment; filename="my_talk.wav"'
+    # no arg → base name of the image path + extension of the output codec
+    _, meta = process(blob, parse("unsafe/filters:attachment():format(flac)/some/dir/clip7"))
+    assert meta["disposition"] == 'attachment; filename="clip7.flac"'
+    # quotes and backslashes escaped (header-injection hygiene)
+    opts = ExportOpts(codec="wav", attachment='a"b\\c.wav')
+    assert content_disposition(parse("unsafe/x"), opts) == (
+        'attachment; filename="a\\"b\\\\c.wav"'
+    )
+    # survives strip_metadata; absent entirely without the filter
+    _, meta = process(blob, parse("unsafe/filters:attachment():strip_metadata()/clip9"))
+    assert "disposition" in meta
+    _, meta = process(blob, parse("unsafe/clip10"))
+    assert "disposition" not in meta
+
+
+def test_attachment_meta_column_through_transform(spark):
+    """The disposition analogue reaches the engine's meta COLUMN even for
+    payload (non-meta) renders — one JSON field, empty otherwise."""
+    import json
+
+    import pandas as pd
+
+    from imagor_spark.engine.transform import transform
+    from imagor_spark.sources.clips import CLIPS_SCHEMA
+
+    row = make_row(42, 3, "unsafe")
+    plain = dict(row)
+    att = dict(row)
+    att["clip_id"] = "att0001"
+    att["ops"] = "unsafe/filters:attachment(take.wav)/" + row["clip_id"]
+    df = spark.createDataFrame(pd.DataFrame([plain, att]), schema=CLIPS_SCHEMA)
+    out = {r["clip_id"]: r for r in transform(df, secret=None).collect()}
+    assert out[row["clip_id"]]["meta"] == ""
+    assert json.loads(out["att0001"]["meta"]) == {
+        "disposition": 'attachment; filename="take.wav"'
+    }
+    assert out["att0001"]["status"] == "ok"  # still a payload render
