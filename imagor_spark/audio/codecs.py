@@ -9,10 +9,12 @@ magic; decoded form is float32 PCM in [-1, 1] shaped ``[channels, samples]``
 Container reality in this sandbox: no libsndfile/ffmpeg is installed, so
 
 * ``wav``  — REAL RIFF/WAVE PCM16 (numpy-only mux/demux, spec-conformant).
-* ``flac`` — DETERMINISTIC STAND-IN: ``fLaC``-magic container carrying
-  zlib-compressed PCM16. Lossless round-trip, real compression, NOT a real
-  FLAC bitstream. Swap `_encode_flac/_decode_flac` for soundfile when the
-  lib is present (import-try below).
+* ``flac`` — REAL FLAC via soundfile/libsndfile WHEN IMPORTABLE (wired
+  below; not present in this sandbox container), else a DETERMINISTIC
+  STAND-IN: ``fLaC``-magic container carrying zlib-compressed PCM16 —
+  lossless round-trip, real compression, not a real bitstream. Existing
+  stand-in payloads keep decoding either way (layouts distinguished by
+  byte 4).
 * ``ogg`` / ``mp3`` — DETERMINISTIC STAND-INs for lossy codecs: magic-tagged
   containers carrying bit-depth-reduced PCM (quality → bits), so the
   quality/max_bytes retry loop (process.go:144-177) has a real size knob and
@@ -201,6 +203,45 @@ def _decode_standin(blob: bytes, magic: bytes, compress: bool) -> tuple[np.ndarr
     return _from_int16(arr.reshape(ch, n)), int(sr)
 
 
+# ------------------------------------------- real FLAC via soundfile
+# When libsndfile/soundfile IS present (not in this sandbox container),
+# FLAC encode/decode routes through it behind the same encode()/decode()
+# interface — real lossless bitstreams instead of the zlib stand-in. The
+# stand-in container stays both as the no-soundfile fallback and as the
+# deterministic corpus format (existing stand-in payloads keep decoding:
+# the two container layouts are distinguished by byte 4).
+
+
+def _is_standin_flac(blob: bytes) -> bool:
+    """Stand-in layout = ``fLaC`` + version byte 1 (+ sane header); a REAL
+    FLAC stream's byte 4 is the STREAMINFO block header (0x00/0x80)."""
+    if len(blob) < _HDR.size or blob[4] != 1:
+        return False
+    try:
+        _, _, sr, ch, bits, _ = _HDR.unpack_from(blob, 0)
+    except struct.error:
+        return False
+    return 0 < sr <= 384_000 and 0 < ch <= 8 and bits in (16,)
+
+
+def _encode_flac_soundfile(pcm: np.ndarray, sr: int) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    _soundfile.write(buf, _as_2d(pcm).T, sr, format="FLAC", subtype="PCM_16")
+    return buf.getvalue()
+
+
+def _decode_flac_soundfile(blob: bytes) -> tuple[np.ndarray, int]:
+    import io
+
+    # NOTE: soundfile scales int16→float32 by 1/32768 vs the stand-in's
+    # 1/32767 — a 3e-5 relative difference, far inside the ≥30 dB SNR
+    # contract the pipeline verifies against the numpy oracle
+    data, sr = _soundfile.read(io.BytesIO(blob), dtype="float32", always_2d=True)
+    return np.ascontiguousarray(data.T), int(sr)
+
+
 def _bits_for_quality(codec: str, quality: int | None) -> int:
     """quality (0-100, encoder default 75 ≅ vipsconfig defaults) → stand-in
     bit depth. Only the lossy stand-ins honour it."""
@@ -217,6 +258,8 @@ def encode(pcm: np.ndarray, sr: int, codec: str, quality: int | None = None) -> 
     if codec == CODEC_WAV:
         return encode_wav(pcm, sr)
     if codec == CODEC_FLAC:
+        if HAVE_SOUNDFILE:
+            return _encode_flac_soundfile(pcm, sr)
         return _encode_standin(_MAGIC_FLAC, pcm, sr, 16, compress=True)
     if codec == CODEC_OGG:
         return _encode_standin(_MAGIC_OGG, pcm, sr, _bits_for_quality(codec, quality), compress=True)
@@ -236,7 +279,12 @@ def decode(blob: bytes, target_sr: int | None = None) -> tuple[np.ndarray, int, 
     if codec == CODEC_WAV:
         pcm, sr = decode_wav(blob, target_sr=target_sr)
     elif codec == CODEC_FLAC:
-        pcm, sr = _decode_standin(blob, _MAGIC_FLAC, compress=True)
+        if not _is_standin_flac(blob) and HAVE_SOUNDFILE:
+            pcm, sr = _decode_flac_soundfile(blob)
+        else:
+            # stand-in container — or a real bitstream without soundfile,
+            # where this raises the documented NotImplementedError
+            pcm, sr = _decode_standin(blob, _MAGIC_FLAC, compress=True)
     elif codec == CODEC_OGG:
         pcm, sr = _decode_standin(blob, _MAGIC_OGG, compress=True)
     elif codec == CODEC_MP3:

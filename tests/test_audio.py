@@ -807,3 +807,39 @@ def test_attachment_meta_column_through_transform(spark):
         "disposition": 'attachment; filename="take.wav"'
     }
     assert out["att0001"]["status"] == "ok"  # still a payload render
+
+
+def test_flac_standin_discriminator():
+    """The stand-in/real-FLAC container discriminator: stand-in payloads
+    are positively identified; real FLAC headers (byte 4 = STREAMINFO
+    block header) are not — so the soundfile route, when available, only
+    ever sees real bitstreams."""
+    from imagor_spark.audio.codecs import _is_standin_flac
+
+    pcm = synth_pcm(1, 2, 8000, 250)
+    standin = codecs.encode(pcm, 8000, "flac")
+    assert _is_standin_flac(standin)
+    # minimal real-FLAC prefix: fLaC + last-block STREAMINFO header (0x80)
+    real_prefix = b"fLaC" + bytes([0x80, 0x00, 0x00, 0x22]) + b"\x00" * 34
+    assert not _is_standin_flac(real_prefix)
+    assert codecs.sniff(real_prefix) == "flac"
+    # without soundfile, a real bitstream must raise the documented stub
+    if not codecs.HAVE_SOUNDFILE:
+        with pytest.raises((NotImplementedError, ValueError)):
+            codecs.decode(real_prefix)
+
+
+@pytest.mark.skipif(not codecs.HAVE_SOUNDFILE, reason="soundfile not installed")
+def test_flac_real_codec_roundtrip():
+    """With soundfile present, FLAC encode/decode is a REAL lossless
+    bitstream: round trip preserves shape/rate and SNR >= 30 dB."""
+    pcm = synth_pcm(1, 3, 16000, 500)
+    blob = codecs.encode(pcm, 16000, "flac")
+    assert codecs.sniff(blob) == "flac"
+    assert not codecs.__dict__["_is_standin_flac"](blob)
+    out, sr, codec = codecs.decode(blob)
+    assert codec == "flac" and sr == 16000
+    assert out.shape[1] == len(pcm)
+    noise = out[0] - pcm
+    snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(noise**2), 1e-20))
+    assert snr >= 30
