@@ -489,3 +489,54 @@ def test_streaming_session_window_matches_batch_twin(spark):
     )
     assert sorted(map(tuple, stream_out)) == sorted(map(tuple, twin))
     assert len(stream_out) > 1  # non-degenerate: multiple sessions exist
+
+
+def test_compaction_during_live_stream_with_same_dir_cache(spark, dirs):
+    """The r3 ADVICE hazard: with result_cache_dir == out_dir (resume-with-
+    cache) and aggressive auto-compaction, compaction rmtree's rendered-keys
+    dirs WHILE the stream is running. The per-batch index re-read means
+    every batch plans against the current manifest, so the stream must
+    survive multiple mid-stream compactions and still skip all duplicates."""
+    import pandas as pd
+
+    def wave(prefix, lo, hi, shared_ops=True):
+        rows = []
+        for i in range(lo, hi):
+            base = make_row(42, i, "unsafe")
+            base["clip_id"] = f"{prefix}{i:04d}"
+            if shared_ops:
+                base["ops"] = f"unsafe/fit-in/{8000 + i}x0/shared{i}"
+            rows.append(base)
+        return pd.DataFrame(rows)
+
+    # 6 single-file waves: 3 originals + 3 key-duplicates → 6 micro-batches
+    for w in [wave("a", 0, 5), wave("b", 5, 10), wave("c", 10, 15),
+              wave("da", 0, 5), wave("db", 5, 10), wave("dc", 10, 15)]:
+        spark.createDataFrame(w, schema=CLIPS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(dirs["in"])
+    from imagor_spark.streaming.pipeline import TransformingSink, build_raw_stream
+    from imagor_spark.engine.transform import make_transform_fn
+    from imagor_spark.engine.config import DEFAULT_CONFIG_ROWS
+
+    sink = TransformingSink(
+        dirs["out"],
+        transform_fn=make_transform_fn(SECRET, allow_unsafe=True),
+        result_cache=IdempotentSink(dirs["out"]),  # SAME dir, live
+        admission_rows=DEFAULT_CONFIG_ROWS,
+        rendered_compact_every=2,  # compact aggressively mid-stream
+    )
+    stream = build_raw_stream(spark, dirs["in"], max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # raises if any batch died on FileNotFoundException
+    assert len(sink.committed_batches()) == 6
+    assert sink._read_compact_manifest() is not None  # compaction DID fire
+    out = sink.read_committed(spark)
+    assert out.count() == 15  # every duplicate wave rendered 0 rows
+    assert out.select("result_key").distinct().count() == 15
