@@ -146,6 +146,10 @@ def run_pipeline_bench(spark, sf_dir: str, workdir: str) -> dict:
             # (env knob for A/B attribution runs only)
             salt_partitions=(int(os.environ["SPARK_GRAFT_SALT"])
                              if os.environ.get("SPARK_GRAFT_SALT") else None),
+            # admission A/B knob (default ON = production semantics):
+            # SPARK_GRAFT_ADMISSION=0 drops the per-batch config join for
+            # attribution runs
+            admission=os.environ.get("SPARK_GRAFT_ADMISSION", "1") != "0",
             wait=True,
         )
         elapsed = time.time() - t0

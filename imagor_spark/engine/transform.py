@@ -152,6 +152,16 @@ def make_transform_fn(
             }
             blobs = pdf["bytes"].to_numpy()
             transcripts = pdf["transcript"].to_numpy()
+            # admission plane (optional column attached by the broadcast
+            # config join upstream, TransformingSink): rows whose codec had
+            # no config entry or exceeded per-codec limits are quarantined
+            # HERE, before any payload byte is touched — folding admission
+            # into the one narrow map keeps the micro-batch single-scan
+            # (a split+union layout would scan the batch twice and re-run
+            # its dedup subtree per branch)
+            admit = (
+                pdf["admit_status"].to_numpy() if "admit_status" in pdf else None
+            )
             for i in range(n):
                 p, canonical, rkey, reject = cache.get(out["ops"][i])
                 out["result_key"][i] = rkey
@@ -159,7 +169,13 @@ def make_transform_fn(
                 out["bytes"][i] = b""
                 out["codec"][i] = ""
                 if reject:
+                    # signature/expiry rejection wins (the reference checks
+                    # the signature before resolving any loader,
+                    # imagor.go:290-302 vs :699-760)
                     out["status"][i] = reject
+                    continue
+                if admit is not None and admit[i] != "ok":
+                    out["status"][i] = admit[i]
                     continue
                 try:
                     payload, meta = audio_apply.process(

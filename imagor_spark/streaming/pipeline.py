@@ -64,7 +64,13 @@ def build_stream(
 ) -> DataFrame:
     """Source → result-cache anti-join → watermark → dedup → transform.
     Returns the streaming result DataFrame (un-sunk), so windowed aggs can
-    branch off it.
+    branch off it (``for_aggregation=True`` is the layout the windowed-agg
+    queries use). The PRODUCTION sink path is ``run_pipeline`` →
+    :class:`TransformingSink`, where the transform runs per-batch inside
+    foreachBatch and the result-cache index is re-read each micro-batch;
+    the ``rendered_keys`` parameter here takes a STATIC snapshot, which is
+    fine for bounded availableNow aggregations but would miss mid-stream
+    commits on a long-running stream.
 
     ``rendered_keys``: static DataFrame[result_key] of already-committed
     renders (``IdempotentSink.read_rendered_keys``). Incoming clips whose
@@ -158,12 +164,13 @@ class TransformingSink(IdempotentSink):
 
     Admission (≅ CheckResolution processor.go:506-516 + the loader
     resolution chain imagor.go:699-760): the per-codec config dimension is
-    broadcast-joined against the batch; unknown codecs → ``not_found``,
-    over-limit duration/rate → ``resolution_bomb`` — quarantined BEFORE any
-    payload byte is decoded. Scale shape: the dimension is tiny (one row
-    per codec) so the join is a broadcast, and the quarantine branch reads
-    only pruned metadata columns — payloads cross the wire once, in the
-    admitted branch.
+    broadcast-joined against the batch and the resulting ``admit_status``
+    column rides INTO the transform UDF, which quarantines non-ok rows
+    before touching a payload byte. Scale shape: the dimension is tiny
+    (one row per codec) so the join is a broadcast, and admission adds NO
+    extra branch — the micro-batch (including its stateful-dedup subtree)
+    is planned and scanned exactly once, unlike a split+union layout which
+    would execute it per branch.
     """
 
     def __init__(
@@ -193,7 +200,7 @@ class TransformingSink(IdempotentSink):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
             return  # replayed batch: effect already visible → exactly-once
-        from ..engine.transform import skip_rendered, with_result_key
+        from ..engine.transform import skip_rendered
 
         spark = batch_df.sparkSession
         if self.result_cache is not None:
@@ -206,32 +213,15 @@ class TransformingSink(IdempotentSink):
                 spark, max_age_ms=self.result_cache_max_age_ms
             )
             batch_df = skip_rendered(batch_df, rendered)
-        rejected_out = None
         if self.admission_rows is not None:
-            from ..engine.config import resolve_with_config, split_admitted
+            from ..engine.config import resolve_with_config
 
             cfg = spark.createDataFrame(self.admission_rows, self.admission_schema)
-            admitted, rejected = split_admitted(
-                resolve_with_config(batch_df, cfg)
-            )
-            batch_df = admitted
-            # quarantine rows take the OUTPUT schema without ever touching
-            # the payload column (column-pruned scan: clip_id/ops/transcript
-            # /ingest_ts only); result_key is still derived so quarantined
-            # requests are traceable by the same key as renders
-            rejected_out = with_result_key(rejected).select(
-                "clip_id",
-                "result_key",
-                F.lit(b"").alias("bytes"),
-                F.lit(0).alias("sr_hz"),
-                F.lit(0).alias("dur_ms"),
-                F.lit(0).alias("n_samples"),
-                F.lit("").alias("codec"),
-                "transcript",
-                "ingest_ts",
-                F.col("admit_status").alias("status"),
-                F.lit("").alias("meta"),
-                "ops",
+            # attach admit_status via broadcast join; the transform UDF
+            # quarantines non-ok rows pre-decode (single plan, no union)
+            batch_df = resolve_with_config(batch_df, cfg).drop(
+                "decoder", "max_dur_ms", "max_sr_hz", "target_store",
+                "default_quality",
             )
         if self.salt_partitions:
             batch_df = batch_df.repartition(
@@ -240,8 +230,6 @@ class TransformingSink(IdempotentSink):
                 F.pmod(F.hash("clip_id"), F.lit(self.salt_partitions)),
             )
         out = batch_df.mapInPandas(self.transform_fn, schema=OUTPUT_SCHEMA)
-        if rejected_out is not None:
-            out = out.unionByName(rejected_out)
         self._commit(out, batch_id)
 
 
