@@ -264,15 +264,26 @@ def with_result_key(df, ops_col: str = "ops", out_col: str = "result_key"):
     return df.withColumn(out_col, rk(F.col(ops_col)))
 
 
-def skip_rendered(df, rendered_keys_df, ops_col: str = "ops"):
+def skip_rendered(df, rendered_keys_df, ops_col: str = "ops",
+                  broadcast_index: bool = True):
     """Result-cache load (imagor.go:403-408, loadResult imagor.go:600-664):
     left-anti join incoming clips against the committed rendered-keys index,
     so already-rendered work is skipped BEFORE the transform ever decodes a
     payload. Works on batch and streaming DataFrames (stream-static left
-    anti is supported); at scale both sides hash-partition on result_key —
-    one shuffle of (key, small row) pairs, never of payload-decoded data."""
+    anti is supported).
+
+    ``broadcast_index`` (default): the index is the TTL-bounded compacted
+    rendered-keys table — small relative to the stream — so it ships as a
+    broadcast build side and the anti-join is a map-side probe: the payload
+    column NEVER crosses an exchange (without the hint, Spark may plan a
+    sort-merge anti that hash-shuffles the full payload rows by key —
+    plan-asserted in tests). Set False only for an index too large to
+    broadcast; then both sides shuffle by key and payloads ride the
+    exchange — at that point shard the index by TTL first."""
     keyed = with_result_key(df, ops_col=ops_col, out_col="__rk")
     rendered = rendered_keys_df.select(F.col("result_key").alias("__rk"))
+    if broadcast_index:
+        rendered = F.broadcast(rendered)
     return keyed.join(rendered, "__rk", "left_anti").drop("__rk")
 
 

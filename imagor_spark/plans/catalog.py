@@ -1017,6 +1017,75 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_admission_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission plane at data scale (CheckResolution processor.go:506-516
+    + loader chain imagor.go:699-760): a deterministic per-doc_id mix of
+    admitted / over-duration / over-rate / unknown-codec clips runs through
+    the broadcast config join + the REAL transform; non-ok rows carry
+    garbage payloads that would raise decode_error if the decoder ever
+    touched them, so the hash-checked status rollup also proves the
+    quarantine happens PRE-decode. Twin of `audio_rejection_mix` for the
+    admission dimension."""
+    from ..audio import codecs as _codecs
+    from ..engine.config import params_config_df, resolve_with_config
+    from ..engine.transform import transform
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 2000)
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        sr = 8000
+        pcm = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr // 10) / sr)).astype(
+            "float32"
+        )
+        wav = _codecs.encode(pcm, sr, "wav")
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 7
+                rows.append(
+                    {
+                        "clip_id": f"doc{d}",
+                        # quarantined rows get undecodable payloads
+                        "bytes": wav if v not in (3, 5, 6) else b"RIFFxxxx" * 4,
+                        "sr_hz": 400_000 if v == 6 else sr,
+                        "dur_ms": 7_200_000 if v == 3 else 100,
+                        "codec": "opus" if v == 5 else "wav",
+                        "transcript": "",
+                        "ingest_ts": pd.Timestamp("2026-01-01", tz="UTC"),
+                        "ops": f"unsafe/fit-in/8000x0/doc{d}",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    from ..sources.docs_clips import CLIPS_SCHEMA
+
+    clips = docs.mapInPandas(gen, schema=CLIPS_SCHEMA)
+    resolved = resolve_with_config(clips, params_config_df(spark)).drop(
+        "decoder", "max_dur_ms", "max_sr_hz", "target_store", "default_quality"
+    )
+    res = transform(resolved, secret=None)
+    return res.groupBy("status").agg(F.count("*").alias("n_clips")).orderBy("status")
+
+
+ORACLE_ADMISSION = """
+SELECT CASE
+         WHEN doc_id % 7 IN (3, 6) THEN 'resolution_bomb'
+         WHEN doc_id % 7 = 5 THEN 'not_found'
+         ELSE 'ok'
+       END AS status,
+       COUNT(*) AS n_clips
+FROM documents WHERE doc_id < 2000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ----------------------------------------------------- pivot / set ops
 
 
@@ -1348,6 +1417,7 @@ EXTRA_QUERIES = {
     "auto_format": q_auto_format,
     "audio_redact_detect": q_audio_redact_detect,
     "audio_rejection_mix": q_audio_rejection_mix,
+    "admission_mix": q_admission_mix,
     "asof_join": q_asof_join,
     "asof_join_pandas": q_asof_join_pandas,
     "result_cache_antijoin": q_result_cache_antijoin,
@@ -1383,6 +1453,7 @@ def extra_oracles() -> dict[str, str]:
         "auto_format": ORACLE_AUTO_FORMAT,
         "audio_redact_detect": ORACLE_REDACT,
         "audio_rejection_mix": ORACLE_REJECTION,
+        "admission_mix": ORACLE_ADMISSION,
         "asof_join": ORACLE_ASOF,
         "asof_join_pandas": ORACLE_ASOF,
         "result_cache_antijoin": ORACLE_RESULT_CACHE,

@@ -89,3 +89,40 @@ def test_embedding_near_dup_join_shape(spark):
     plan = _plan(pairs)
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_per_batch_render_plane_shape(spark):
+    """The TransformingSink per-batch plan (result-cache anti-join +
+    admission join + transform) must be payload-friendly: both joins are
+    BROADCAST (the TTL-bounded key index and the tiny config dim build
+    sides), so the payload column never crosses an exchange, and the whole
+    plane is ONE scan of the batch input — no union branches re-executing
+    the batch subtree."""
+    from imagor_spark.engine.config import params_config_df, resolve_with_config
+    from imagor_spark.engine.transform import (
+        OUTPUT_SCHEMA,
+        make_transform_fn,
+        skip_rendered,
+    )
+    from imagor_spark.sources.clips import SECRET, generate_clips_df
+
+    spark.catalog.clearCache()
+    batch = generate_clips_df(spark, 50, signed_mix=False)
+    rendered = spark.createDataFrame([("k1",), ("k2",)], "result_key string")
+    cache_checked = skip_rendered(batch, rendered)
+    admitted = resolve_with_config(cache_checked, params_config_df(spark)).drop(
+        "decoder", "max_dur_ms", "max_sr_hz", "target_store", "default_quality"
+    )
+    out = admitted.mapInPandas(
+        make_transform_fn(SECRET, allow_unsafe=True), schema=OUTPUT_SCHEMA
+    )
+    out.count()  # settle AQE
+    plan = _plan(out)
+    # both joins broadcast: no shuffle of the stream/payload side
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # payload never shuffles
+    # one scan of the generated batch lineage (no union re-execution)
+    assert plan.count("ArrowEvalPython") <= 1  # with_result_key only
+    assert "Union" not in plan
