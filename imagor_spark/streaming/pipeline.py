@@ -203,7 +203,13 @@ class TransformingSink(IdempotentSink):
         from ..engine.transform import skip_rendered
 
         spark = batch_df.sparkSession
-        if self.result_cache is not None:
+        if self.result_cache is not None and (
+            # cheap driver-side probe: with nothing committed yet (fresh
+            # stream, empty cache dir) the anti-join AND the per-row key
+            # projection are skipped entirely for this batch
+            self.result_cache._read_compact_manifest() is not None
+            or self.result_cache.committed_batches()
+        ):
             # FRESH read of the committed index — sees keys committed by
             # earlier batches of this very stream (live cache refresh).
             # The compacted index is small relative to the stream (TTL-
