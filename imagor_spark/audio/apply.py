@@ -147,15 +147,17 @@ def extract_export_opts(p: Params, source_codec: str) -> ExportOpts:
 
 
 def content_disposition(p: Params, opts: ExportOpts) -> str:
-    """Content-Disposition analogue for attachment() (imagor.go:312-338 +
-    the header write :927-946): filename = the filter arg, else the base
-    name of the source image path; an extension matching the output codec
-    is appended when missing; quotes/control chars are escaped."""
-    name = opts.attachment or (p.image or "").rsplit("/", 1)[-1] or "download"
-    if "." not in name and opts.codec:
-        name = f"{name}.{opts.codec}"
-    name = name.replace("\\", "\\\\").replace('"', '\\"')
-    name = "".join(c for c in name if c.isprintable())
+    """Content-Disposition analogue for attachment() — byte-identical with
+    getContentDisposition (imagor.go:1071-1087): filename = the filter arg,
+    else the base name of the source image path; double quotes escape as
+    %22; the OUTPUT extension is always trim-suffixed then appended, so
+    ``attachment(song.wav)`` + ``format(flac)`` → ``song.wav.flac`` while
+    ``attachment(song.flac)`` stays ``song.flac``."""
+    name = opts.attachment or (p.image or "").rsplit("/", 1)[-1]
+    name = name.replace('"', "%22")
+    if opts.codec:
+        ext = "." + opts.codec
+        name = name.removesuffix(ext) + ext
     return f'attachment; filename="{name}"'
 
 

@@ -15,10 +15,14 @@ Container reality in this sandbox: no libsndfile/ffmpeg is installed, so
   lossless round-trip, real compression, not a real bitstream. Existing
   stand-in payloads keep decoding either way (layouts distinguished by
   byte 4).
-* ``ogg`` / ``mp3`` — DETERMINISTIC STAND-INs for lossy codecs: magic-tagged
-  containers carrying bit-depth-reduced PCM (quality → bits), so the
-  quality/max_bytes retry loop (process.go:144-177) has a real size knob and
-  decode is deterministic for the SNR oracle.
+* ``ogg``  — REAL Ogg/Vorbis via soundfile WHEN IMPORTABLE (libsndfile ≥
+  1.0.18 ships the codec; wired like FLAC, stand-in payloads distinguished
+  by byte 4 = real Ogg's stream_structure_version 0x00 vs the stand-in's
+  version tag 1), else the deterministic stand-in below.
+* ``mp3`` (and ``ogg`` fallback) — DETERMINISTIC STAND-INs for lossy codecs:
+  magic-tagged containers carrying bit-depth-reduced PCM (quality → bits), so
+  the quality/max_bytes retry loop (process.go:144-177) has a real size knob
+  and decode is deterministic for the SNR oracle.
 
 All stand-ins raise ``NotImplementedError`` from ``strict_decode`` when fed a
 *real* FLAC/OGG/MP3 bitstream (zlib/shape check fails) — the plumbing is
@@ -242,6 +246,41 @@ def _decode_flac_soundfile(blob: bytes) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(data.T), int(sr)
 
 
+# ------------------------------------------- real Ogg/Vorbis via soundfile
+# libsndfile ≥ 1.0.18 ships an Ogg/Vorbis codec, so when soundfile imports,
+# OGG routes through it exactly like FLAC above. Discriminator: the stand-in
+# container's byte 4 is its version tag (1); a REAL Ogg page's byte 4 is the
+# stream_structure_version, which is 0x00 — existing stand-in payloads keep
+# decoding either way.
+
+
+def _is_standin_ogg(blob: bytes) -> bool:
+    if len(blob) < _HDR.size or blob[4] != 1:
+        return False
+    try:
+        _, _, sr, ch, bits, _ = _HDR.unpack_from(blob, 0)
+    except struct.error:
+        return False
+    return 0 < sr <= 384_000 and 0 < ch <= 8 and 4 <= bits <= 16
+
+
+def _encode_ogg_soundfile(pcm: np.ndarray, sr: int) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    # Vorbis has no bit-depth knob; the stand-in's quality→bits mapping has
+    # no analogue here (libsndfile uses its default encoder quality)
+    _soundfile.write(buf, _as_2d(pcm).T, sr, format="OGG", subtype="VORBIS")
+    return buf.getvalue()
+
+
+def _decode_ogg_soundfile(blob: bytes) -> tuple[np.ndarray, int]:
+    import io
+
+    data, sr = _soundfile.read(io.BytesIO(blob), dtype="float32", always_2d=True)
+    return np.ascontiguousarray(data.T), int(sr)
+
+
 def _bits_for_quality(codec: str, quality: int | None) -> int:
     """quality (0-100, encoder default 75 ≅ vipsconfig defaults) → stand-in
     bit depth. Only the lossy stand-ins honour it."""
@@ -262,6 +301,8 @@ def encode(pcm: np.ndarray, sr: int, codec: str, quality: int | None = None) -> 
             return _encode_flac_soundfile(pcm, sr)
         return _encode_standin(_MAGIC_FLAC, pcm, sr, 16, compress=True)
     if codec == CODEC_OGG:
+        if HAVE_SOUNDFILE:
+            return _encode_ogg_soundfile(pcm, sr)
         return _encode_standin(_MAGIC_OGG, pcm, sr, _bits_for_quality(codec, quality), compress=True)
     if codec == CODEC_MP3:
         return _encode_standin(_MAGIC_MP3, pcm, sr, _bits_for_quality(codec, quality), compress=True)
@@ -286,7 +327,12 @@ def decode(blob: bytes, target_sr: int | None = None) -> tuple[np.ndarray, int, 
             # where this raises the documented NotImplementedError
             pcm, sr = _decode_standin(blob, _MAGIC_FLAC, compress=True)
     elif codec == CODEC_OGG:
-        pcm, sr = _decode_standin(blob, _MAGIC_OGG, compress=True)
+        if not _is_standin_ogg(blob) and HAVE_SOUNDFILE:
+            pcm, sr = _decode_ogg_soundfile(blob)
+        else:
+            # stand-in container — or a real bitstream without soundfile,
+            # where this raises the documented NotImplementedError
+            pcm, sr = _decode_standin(blob, _MAGIC_OGG, compress=True)
     elif codec == CODEC_MP3:
         pcm, sr = _decode_standin(blob, _MAGIC_MP3, compress=True)
     else:

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..audio import apply as audio_apply
 from ..audio import codecs
-from ..imagorpath import Params, generate_path, hex_digest_path, parse
+from ..imagorpath import Params, hex_digest_path, parse, result_path
 from ..imagorpath.signer import HMACSigner
 
 # status values (≅ errors.go: ErrSignatureMismatch/ErrExpired/ErrUnsupported…)
@@ -51,8 +51,12 @@ OUTPUT_SCHEMA = (
 
 def _canonicalize(p: Params) -> str:
     """Regenerate the canonical path after parse (imagor.go:377-379) — the
-    result-cache key basis."""
-    return generate_path(p)
+    result-cache key basis. Utility filters (expire/attachment) are
+    STRIPPED first (imagor.go:331-338): they shape the response envelope,
+    not the rendered bytes, so ``attachment(a.wav)`` and a bare render of
+    the same ops must share one cache entry — the full Params (attachment
+    included) still flows to the processor for the disposition meta."""
+    return result_path(p)
 
 
 class _OpsCache:
@@ -256,12 +260,25 @@ def with_result_key(df, ops_col: str = "ops", out_col: str = "result_key"):
         def one(o: str) -> str:
             hit = memo.get(o)
             if hit is None:
-                hit = memo[o] = hex_digest_path(generate_path(parse(o)))
+                # result_path (not generate_path): utility filters are
+                # excluded from the key, matching _OpsCache/_canonicalize
+                hit = memo[o] = hex_digest_path(result_path(parse(o)))
             return hit
 
         return ops.map(one)
 
     return df.withColumn(out_col, rk(F.col(ops_col)))
+
+
+def _anti_join_rendered(keyed, rendered_keys_df, broadcast_index: bool = True,
+                        key_col: str = "__rk"):
+    """Anti-join a pre-keyed frame against the committed index (shared by
+    :func:`skip_rendered` and the per-batch sink, which computes the key
+    projection ONCE for both the anti-join and within-batch singleflight)."""
+    rendered = rendered_keys_df.select(F.col("result_key").alias(key_col))
+    if broadcast_index:
+        rendered = F.broadcast(rendered)
+    return keyed.join(rendered, key_col, "left_anti")
 
 
 def skip_rendered(df, rendered_keys_df, ops_col: str = "ops",
@@ -281,10 +298,37 @@ def skip_rendered(df, rendered_keys_df, ops_col: str = "ops",
     broadcast; then both sides shuffle by key and payloads ride the
     exchange — at that point shard the index by TTL first."""
     keyed = with_result_key(df, ops_col=ops_col, out_col="__rk")
-    rendered = rendered_keys_df.select(F.col("result_key").alias("__rk"))
-    if broadcast_index:
-        rendered = F.broadcast(rendered)
-    return keyed.join(rendered, "__rk", "left_anti").drop("__rk")
+    return _anti_join_rendered(keyed, rendered_keys_df, broadcast_index).drop("__rk")
+
+
+def singleflight_within(df, key_col: str = "__rk", id_col: str = "clip_id"):
+    """WITHIN-batch singleflight (imagor.go:842-884): concurrent identical
+    requests — rows in the SAME micro-batch whose ops+image resolve to one
+    result_key — coalesce to a single render. The min-``id_col`` row wins;
+    a dropped row's result IS the winner's committed row (identical bytes
+    under the same key), exactly as if it had arrived one batch later and
+    hit the rendered-keys anti-join.
+
+    Scale shape — the payload never shuffles: the duplicate-winner
+    dimension is aggregated over a 2-column (key, id) projection (only
+    those pairs cross the exchange; column pruning keeps payload bytes out
+    of that subtree's scan) and contains ONLY keys that actually repeat
+    within the batch — tiny under any realistic duplicate rate — so it
+    broadcasts, and the wide side is filtered in place by a
+    BroadcastHashJoin. A plain ``dropDuplicates([key])`` would instead
+    hash-shuffle every payload row per batch."""
+    dups = (
+        df.select(key_col, id_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("__n"), F.min(id_col).alias("__winner"))
+        .filter(F.col("__n") > 1)
+        .select(key_col, "__winner")
+    )
+    return (
+        df.join(F.broadcast(dups), key_col, "left_outer")
+        .filter(F.col("__winner").isNull() | (F.col(id_col) == F.col("__winner")))
+        .drop("__winner")
+    )
 
 
 def split_quarantine(result_df):

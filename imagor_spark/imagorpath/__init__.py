@@ -17,7 +17,7 @@ from .params import (
     TRIM_BY_TOP_LEFT,
 )
 from .parse import apply, parse, parse_filters, split_args
-from .generate import generate, generate_path, generate_unsafe
+from .generate import generate, generate_path, generate_unsafe, result_path
 from .signer import HMACSigner, new_default_signer, sign
 from .hasher import (
     digest_result_storage_hasher,
@@ -39,6 +39,7 @@ __all__ = [
     "digest_storage_hasher",
     "generate",
     "generate_path",
+    "result_path",
     "generate_unsafe",
     "has_cache_bypass",
     "has_crop",

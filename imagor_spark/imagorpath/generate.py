@@ -146,6 +146,27 @@ def _go_path_escape(s: str) -> str:
     return "".join(out)
 
 
+# utility filters affect the response envelope (expiry header, download
+# disposition), never the rendered bytes — the reference rebuilds p.Filters
+# without them before regenerating the path that keys result storage
+# (imagor.go:331-338, :377-379), so two ops differing only by these share
+# one result-cache entry
+UTILITY_FILTER_NAMES = ("expire", "attachment")
+
+
+def result_path(p: Params) -> str:
+    """Canonical path with utility filters stripped — the result-cache key
+    basis (imagor.go:331-338,377-379). ``generate_path`` itself stays the
+    full round-trip inverse of ``parse``; only storage keying uses this."""
+    if any(f.name in UTILITY_FILTER_NAMES for f in p.filters):
+        from dataclasses import replace
+
+        p = replace(
+            p, filters=[f for f in p.filters if f.name not in UTILITY_FILTER_NAMES]
+        )
+    return generate_path(p)
+
+
 def generate_unsafe(p: Params) -> str:
     """generate.go:122-124."""
     return generate(p, None)

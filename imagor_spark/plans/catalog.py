@@ -13,10 +13,30 @@ Regex-dialect notes (cost a verification round to learn):
 from __future__ import annotations
 
 import os
-import tempfile
+import shutil
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# scratch dirs (checkpoint + sink) for the streaming parity queries: fresh
+# per call (a reused checkpoint would make rep 2 of a bench a no-op resume,
+# not a measurement), claimed with owner.pid stamps so a later bench's
+# purge_stale_workdirs reclaims them once this process exits, and the
+# PREVIOUS call's dirs for the same query are deleted eagerly — best-of-N
+# benches no longer leak one checkpoint per rep (the r4 ck_* leak)
+_PARITY_SCRATCH: dict[str, list[str]] = {}
+
+
+def _parity_scratch(qname: str) -> tuple[str, str]:
+    from ..engine.workdirs import make_workdir
+
+    for d in _PARITY_SCRATCH.pop(qname, []):
+        shutil.rmtree(d, ignore_errors=True)
+    ck = make_workdir(f"imagor_ck_{qname}_")
+    out = make_workdir(f"imagor_ck_{qname}_sink_")
+    _PARITY_SCRATCH[qname] = [ck, out]
+    return ck, out
 
 
 # ------------------------------------------------------------------- text
@@ -561,17 +581,21 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming query (availableNow) over the docs-derived clip
-    stream: transform → tumbling 10-min windows × out-codec, complete
-    mode → memory sink. The DuckDB oracle predicts the same rollup by
-    arithmetic — a hash-checked STREAMING correctness gate."""
+    stream: transform → tumbling 10-min windows × out-codec → UPDATE mode
+    → foreachBatch :class:`AggSink` (exactly-once commit log; fresh
+    checkpoint per call). The read side folds the committed update log to
+    current state (latest batch wins per window) — the production shape:
+    resumable from checkpoint, no complete-mode state replay, no memory
+    sink. The DuckDB oracle predicts the same rollup by arithmetic — a
+    hash-checked STREAMING correctness gate."""
     from ..engine.transform import make_transform_fn, OUTPUT_SCHEMA
     from ..sources.docs_clips import CLIPS_SCHEMA, cached_clips, clips_cache_dir
+    from ..streaming.sink import AggSink
 
     # share the one materialized derived-clips table (cached_clips) and
     # point the stream source at its parquet dir — the derivation is paid
     # once per sf_dir across ALL audio queries, batch and streaming
     cached_clips(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
         os.path.join(clips_cache_dir(sf_dir), "data")
     )
@@ -585,17 +609,19 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_clips"), F.sum("n_samples").alias("total_samples"))
     )
-    qname = f"tumbling_parity_{tag}"
+    ck, out_dir = _parity_scratch("tumbling")
+    sink = AggSink(out_dir)
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_parity_"))
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {qname}").orderBy("window_start", "out_codec")
+    return sink.read_latest(spark, ["window_start", "out_codec"]).orderBy(
+        "window_start", "out_codec"
+    )
 
 
 ORACLE_STREAM_TUMBLING = """
@@ -642,14 +668,48 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 (19 s gaps → singletons) — so the DuckDB oracle replays the session
     assignment with lag/cumsum arithmetic and the result is hash-checked:
     the streaming twin of the batch ``events_sessionize`` gate (closes the
-    r3 "sessions are ● only in batch" gap)."""
+    r3 "sessions are ● only in batch" gap).
+
+    Sink shape: APPEND mode (the only mode Spark allows for session-window
+    aggregation — each CLOSED session emits exactly once) → foreachBatch
+    :class:`AggSink` (exactly-once commit log, resumable checkpoint). A
+    session only closes when the event-time watermark passes its end, so a
+    bounded input's tail sessions would sit in state forever; the stream
+    unions a far-future SENTINEL row (an event-time heartbeat, the standard
+    flush idiom for bounded replays) that advances the watermark past every
+    real session's end, then filters the sentinel's own codec out of the
+    aggregate."""
+    import datetime
+
     from ..sources.docs_clips import CLIPS_SCHEMA, cached_clips, clips_cache_dir
+    from ..streaming.sink import AggSink
 
     cached_clips(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
         os.path.join(clips_cache_dir(sf_dir), "data")
     )
+    ck, out_dir = _parity_scratch("session")
+    # real ingest_ts spans [base, base+3599 s]; sentinel at base+4000 s with
+    # a 5-minute watermark delay puts the watermark at base+3700 s — past
+    # every real session end (≤ base+3609 s) but not its own
+    sentinel_dir = os.path.join(out_dir, "sentinel_src")
+    spark.createDataFrame(
+        [(
+            "__sentinel__", b"", 8000, 0, "__hb__", "",
+            datetime.datetime(2026, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=4000),
+            "unsafe/__sentinel__",
+        )],
+        CLIPS_SCHEMA,
+    ).write.parquet(sentinel_dir)
+    stream = stream.unionByName(
+        spark.readStream.schema(CLIPS_SCHEMA).parquet(sentinel_dir)
+    )
+    # NO codec filter inside the streaming query: a predicate on a grouping
+    # column gets pushed below the aggregate AND below the EventTimeWatermark
+    # node, pruning the sentinel before it can advance the watermark
+    # (measured: watermark stuck at real-max − delay, 33 sessions unflushed).
+    # It is also unnecessary — the sentinel's own session never closes, so
+    # append mode can never emit it; the read side filters as belt-and-braces.
     agg = (
         stream.withWatermark("ingest_ts", "5 minutes")
         .groupBy(F.session_window("ingest_ts", "10 seconds").alias("sw"), "codec")
@@ -660,17 +720,20 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clips",
         )
     )
-    qname = f"session_parity_{tag}"
+    sink = AggSink(out_dir)
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sess_parity_"))
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {qname}").orderBy("codec", "session_start")
+    return (
+        sink.read_latest(spark, ["codec", "session_start"])
+        .filter(F.col("codec") != "__hb__")
+        .orderBy("codec", "session_start")
+    )
 
 
 ORACLE_STREAM_SESSION = """

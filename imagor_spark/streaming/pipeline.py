@@ -147,6 +147,7 @@ class TransformingSink(IdempotentSink):
     """The request lifecycle (imagor.go:275-540) executed INSIDE foreachBatch:
 
       batch → result-cache anti-join (index re-read THIS batch)
+            → within-batch singleflight (same result_key renders once)
             → admission (broadcast config dim, quarantine pre-decode)
             → salted repartition (optional)
             → decode→ops→encode transform
@@ -200,13 +201,22 @@ class TransformingSink(IdempotentSink):
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
             return  # replayed batch: effect already visible → exactly-once
-        from ..engine.transform import skip_rendered
+        from ..engine.transform import (
+            _anti_join_rendered,
+            singleflight_within,
+            with_result_key,
+        )
 
         spark = batch_df.sparkSession
+        # one key projection serves BOTH cache economies (the reference
+        # derives the key once per request too, imagor.go:403-408):
+        #   across batches — anti-join vs the committed rendered-keys index;
+        #   within a batch — singleflight (imagor.go:842-884): same-key rows
+        #   arriving in ONE trigger render once, not N times.
+        keyed = with_result_key(batch_df, out_col="__rk")
         if self.result_cache is not None and (
             # cheap driver-side probe: with nothing committed yet (fresh
-            # stream, empty cache dir) the anti-join AND the per-row key
-            # projection are skipped entirely for this batch
+            # stream, empty cache dir) the anti-join is skipped entirely
             self.result_cache._read_compact_manifest() is not None
             or self.result_cache.committed_batches()
         ):
@@ -218,7 +228,8 @@ class TransformingSink(IdempotentSink):
             rendered = self.result_cache.read_rendered_keys(
                 spark, max_age_ms=self.result_cache_max_age_ms
             )
-            batch_df = skip_rendered(batch_df, rendered)
+            keyed = _anti_join_rendered(keyed, rendered)
+        batch_df = singleflight_within(keyed).drop("__rk")
         if self.admission_rows is not None:
             from ..engine.config import resolve_with_config
 

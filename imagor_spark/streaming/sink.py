@@ -97,16 +97,19 @@ class IdempotentSink:
             return  # replayed batch: effect already visible → exactly-once
         self._commit(batch_df, batch_id)
 
+    def _with_provenance(self, batch_df: DataFrame) -> DataFrame:
+        """Provenance columns materialized in the SINGLE payload pass:
+        part_id = producing partition, out_len = payload size."""
+        return batch_df.withColumn("part_id", F.spark_partition_id()).withColumn(
+            "out_len", F.length("bytes")
+        )
+
     def _commit(self, batch_df: DataFrame, batch_id: int) -> None:
         """Write data + side tables, then the marker (caller has already
         checked ``is_committed``)."""
         t0 = time.time()
         spark = batch_df.sparkSession
-        # provenance columns materialized in the SINGLE payload pass:
-        # part_id = producing partition, out_len = payload size
-        batch_df = batch_df.withColumn("part_id", F.spark_partition_id()).withColumn(
-            "out_len", F.length("bytes")
-        )
+        batch_df = self._with_provenance(batch_df)
         data_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
         # zstd instead of the snappy default: PCM16 payloads compress ~2×
         # under zstd and barely under snappy — on a disk-bound sink this
@@ -137,6 +140,34 @@ class IdempotentSink:
                 target = os.path.join(data_path, f"{self.partition_by}=__empty__")
             empty.write.mode("overwrite").parquet(target)
         written = spark.read.parquet(data_path)
+        self._write_side_tables(written, batch_id)
+        # atomic commit marker LAST
+        tmp = self._marker(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "wall_s": round(time.time() - t0, 3),
+                    "committed_at_ms": int(time.time() * 1000),
+                },
+                f,
+            )
+        os.replace(tmp, self._marker(batch_id))
+        # periodic index compaction: a long-running pipeline otherwise grows
+        # one rendered_keys/batch-* parquet dir per batch forever, and the
+        # anti-join's build side becomes thousands of small files. The batch
+        # data is already committed (marker above), so a failure in this
+        # non-essential index maintenance must not fail the streaming query —
+        # the next commit retries it.
+        if self.rendered_compact_every and self._n_rendered_batch_dirs() >= self.rendered_compact_every:
+            try:
+                self.compact_rendered_keys(spark)
+            except Exception as exc:  # pragma: no cover - transient FS/Spark
+                print(f"[sink] rendered-keys compaction deferred: {exc}")
+
+    def _write_side_tables(self, written: DataFrame, batch_id: int) -> None:
+        """Lineage / metrics / rendered-keys side tables from a
+        column-pruned re-read of the just-written batch data."""
         lineage = (
             written.groupBy("part_id")
             .agg(
@@ -168,29 +199,6 @@ class IdempotentSink:
         rendered.write.mode("overwrite").parquet(
             os.path.join(self.rendered_dir, f"batch-{batch_id}")
         )
-        # atomic commit marker LAST
-        tmp = self._marker(batch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "batch_id": batch_id,
-                    "wall_s": round(time.time() - t0, 3),
-                    "committed_at_ms": int(time.time() * 1000),
-                },
-                f,
-            )
-        os.replace(tmp, self._marker(batch_id))
-        # periodic index compaction: a long-running pipeline otherwise grows
-        # one rendered_keys/batch-* parquet dir per batch forever, and the
-        # anti-join's build side becomes thousands of small files. The batch
-        # data is already committed (marker above), so a failure in this
-        # non-essential index maintenance must not fail the streaming query —
-        # the next commit retries it.
-        if self.rendered_compact_every and self._n_rendered_batch_dirs() >= self.rendered_compact_every:
-            try:
-                self.compact_rendered_keys(spark)
-            except Exception as exc:  # pragma: no cover - transient FS/Spark
-                print(f"[sink] rendered-keys compaction deferred: {exc}")
 
     # ---- reader side: only committed batches are visible
 
@@ -387,3 +395,44 @@ class IdempotentSink:
         for fr in frames[1:]:
             out = out.unionByName(fr)
         return out
+
+
+class AggSink(IdempotentSink):
+    """Exactly-once sink for AGGREGATED streaming output (windowed rollups)
+    — the same commit-marker discipline as :class:`IdempotentSink`, minus
+    the payload-specific side tables (agg rows carry no bytes/status/
+    result_key). Used by the streaming parity queries so no catalog entry
+    needs complete-mode + a memory sink (which cannot resume from a
+    checkpoint and holds the whole result in executor memory).
+
+    With ``outputMode("update")`` each micro-batch appends the CHANGED
+    groups; :meth:`read_latest` folds the committed log back into current
+    state by keeping each group's row from its highest committed batch —
+    the streaming-upsert read side of an append-only exactly-once log (an
+    Iceberg/Delta MERGE target would absorb this fold on a real cluster).
+    """
+
+    def __init__(self, out_dir: str):
+        super().__init__(out_dir, partition_by=None, rendered_compact_every=0)
+
+    def _with_provenance(self, batch_df: DataFrame) -> DataFrame:
+        return batch_df
+
+    def _write_side_tables(self, written: DataFrame, batch_id: int) -> None:
+        pass
+
+    def read_latest(self, spark, key_cols: list[str]) -> DataFrame:
+        """Current state: one row per group key, from the highest committed
+        batch that updated it (``batch_id`` is the partition column the
+        per-batch dir layout provides for free)."""
+        from pyspark.sql import Window
+
+        df = self.read_committed(spark)
+        w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+            F.col("batch_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "batch_id")
+        )

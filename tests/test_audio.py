@@ -773,10 +773,16 @@ def test_attachment_disposition():
     # no arg → base name of the image path + extension of the output codec
     _, meta = process(blob, parse("unsafe/filters:attachment():format(flac)/some/dir/clip7"))
     assert meta["disposition"] == 'attachment; filename="clip7.flac"'
-    # quotes and backslashes escaped (header-injection hygiene)
+    # double quotes escape as %22 (imagor.go:1078) — backslashes pass through
     opts = ExportOpts(codec="wav", attachment='a"b\\c.wav')
     assert content_disposition(parse("unsafe/x"), opts) == (
-        'attachment; filename="a\\"b\\\\c.wav"'
+        'attachment; filename="a%22b\\c.wav"'
+    )
+    # the output extension is ALWAYS trim-suffix+appended (imagor.go:1081-1084):
+    # a name carrying a DIFFERENT extension gains the output one
+    opts = ExportOpts(codec="flac", attachment="song.wav")
+    assert content_disposition(parse("unsafe/x"), opts) == (
+        'attachment; filename="song.wav.flac"'
     )
     # survives strip_metadata; absent entirely without the filter
     _, meta = process(blob, parse("unsafe/filters:attachment():strip_metadata()/clip9"))
@@ -796,6 +802,7 @@ def test_attachment_meta_column_through_transform(spark):
     from imagor_spark.sources.clips import CLIPS_SCHEMA
 
     row = make_row(42, 3, "unsafe")
+    out_ext = codecs.supported_save_codec(row["codec"])  # source codec passes through
     plain = dict(row)
     att = dict(row)
     att["clip_id"] = "att0001"
@@ -803,8 +810,9 @@ def test_attachment_meta_column_through_transform(spark):
     df = spark.createDataFrame(pd.DataFrame([plain, att]), schema=CLIPS_SCHEMA)
     out = {r["clip_id"]: r for r in transform(df, secret=None).collect()}
     assert out[row["clip_id"]]["meta"] == ""
+    # the OUTPUT extension is appended per imagor.go:1081-1084
     assert json.loads(out["att0001"]["meta"]) == {
-        "disposition": 'attachment; filename="take.wav"'
+        "disposition": f'attachment; filename="take.wav.{out_ext}"'
     }
     assert out["att0001"]["status"] == "ok"  # still a payload render
 
@@ -843,3 +851,41 @@ def test_flac_real_codec_roundtrip():
     noise = out[0] - pcm
     snr = 10 * np.log10(np.sum(pcm**2) / max(np.sum(noise**2), 1e-20))
     assert snr >= 30
+
+
+def test_ogg_standin_vs_real_discriminator():
+    """Stand-in OGG (version byte 1) vs a real Ogg page (byte 4 =
+    stream_structure_version = 0x00): existing stand-in payloads must keep
+    decoding whether or not soundfile is importable."""
+    from imagor_spark.audio.codecs import _is_standin_ogg
+
+    pcm = synth_pcm(1, 5, 8000, 300)
+    standin = codecs._encode_standin(codecs._MAGIC_OGG, pcm, 8000, 12, compress=True)
+    assert _is_standin_ogg(standin)
+    out, sr = codecs._decode_standin(standin, codecs._MAGIC_OGG, compress=True)
+    assert sr == 8000 and out.shape[1] == len(pcm)
+    # minimal real-Ogg page prefix: OggS + version 0 + header_type + granule
+    real_prefix = b"OggS" + b"\x00" * 23
+    assert not _is_standin_ogg(real_prefix)
+    assert codecs.sniff(real_prefix) == "ogg"
+    if not codecs.HAVE_SOUNDFILE:
+        with pytest.raises((NotImplementedError, ValueError)):
+            codecs.decode(real_prefix)
+
+
+@pytest.mark.skipif(not codecs.HAVE_SOUNDFILE, reason="soundfile not installed")
+def test_ogg_real_codec_roundtrip():
+    """With soundfile present (libsndfile ≥ 1.0.18 ships Vorbis), OGG
+    encode/decode is a REAL lossy bitstream: round trip preserves
+    shape/rate with tolerable quantization noise."""
+    pcm = synth_pcm(1, 6, 16000, 500)
+    blob = codecs.encode(pcm, 16000, "ogg")
+    assert codecs.sniff(blob) == "ogg"
+    assert not codecs.__dict__["_is_standin_ogg"](blob)
+    out, sr, codec = codecs.decode(blob)
+    assert codec == "ogg" and sr == 16000
+    # vorbis may pad a few frames; compare the overlapping region
+    n = min(out.shape[1], len(pcm))
+    noise = out[0, :n] - pcm[:n]
+    snr = 10 * np.log10(np.sum(pcm[:n] ** 2) / max(np.sum(noise**2), 1e-20))
+    assert snr >= 10  # lossy codec at default quality

@@ -108,6 +108,25 @@ def test_result_key_is_sha1_of_canonical(result):
     assert r["result_key"] == h[:2] + "/" + h[2:4] + "/" + h[4:]
 
 
+def test_result_key_ignores_utility_filters():
+    """Utility filters are excluded from the result path (imagor.go:331-338):
+    ops differing ONLY by attachment()/expire() share one result_key, so the
+    rendered-keys anti-join cache-hits across them and the same render is
+    never stored twice — while a substantive filter still changes the key."""
+    from imagor_spark.imagorpath import hex_digest_path, result_path
+
+    def key(ops):
+        return hex_digest_path(result_path(parse(ops)))
+
+    base = key("unsafe/fit-in/16000x0/clip1")
+    assert key("unsafe/fit-in/16000x0/filters:attachment(a.wav)/clip1") == base
+    assert key("unsafe/fit-in/16000x0/filters:expire(99999999999999)/clip1") == base
+    assert key(
+        "unsafe/fit-in/16000x0/filters:expire(1):attachment()/clip1"
+    ) == base
+    assert key("unsafe/fit-in/16000x0/filters:normalize(-14)/clip1") != base
+
+
 def test_transform_stage_is_narrow(spark, clips):
     """The transform must not introduce a shuffle: upstream partitioning
     (e.g. salted codec repartition) has to survive into the sink stage."""

@@ -91,6 +91,33 @@ def test_embedding_near_dup_join_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_singleflight_never_shuffles_payload(spark, tmp_path):
+    """Within-batch singleflight must filter the wide side IN PLACE: the
+    only exchange is the (key, clip_id) pair aggregation building the
+    duplicate-winner dim (column pruning keeps payload bytes out of that
+    subtree's scan), which then broadcasts back — a dropDuplicates(key)
+    would instead hash-shuffle every payload row per batch."""
+    from pyspark.sql import functions as F
+
+    from imagor_spark.engine.transform import singleflight_within, with_result_key
+    from imagor_spark.sources.clips import generate_clips_df
+
+    src = str(tmp_path / "clips")
+    generate_clips_df(spark, 50, signed_mix=False).write.parquet(src)
+    keyed = with_result_key(spark.read.parquet(src), out_col="__rk")
+    out = singleflight_within(keyed)
+    out.count()  # settle AQE
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exactly one hash exchange — the tiny pair aggregation, never payloads
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the aggregate subtree's parquet scan pruned the payload column:
+    # of the two scans of the clips file, one reads a bytes-free schema
+    schemas = [s.split("]")[0] for s in plan.split("ReadSchema: struct<")[1:]]
+    assert any("bytes" not in s for s in schemas), plan
+
+
 def test_per_batch_render_plane_shape(spark):
     """The TransformingSink per-batch plan (result-cache anti-join +
     admission join + transform) must be payload-friendly: both joins are

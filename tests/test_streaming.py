@@ -285,6 +285,43 @@ def test_live_stream_sees_midstream_commits(spark, dirs):
     assert out.select("result_key").distinct().count() == 10
 
 
+def test_within_batch_singleflight(spark, dirs):
+    """Singleflight INSIDE one micro-batch (imagor.go:842-884): rows in the
+    SAME trigger with distinct clip_ids but identical ops+image (⇒ identical
+    result_key) must render ONCE — the r4 anti-join only saw keys committed
+    by PRIOR batches. The min clip_id wins deterministically; distinct-key
+    rows pass through untouched."""
+    import pandas as pd
+
+    rows = []
+    for i in range(6):
+        base = make_row(42, i, "unsafe")
+        base["clip_id"] = f"uniq{i:04d}"
+        base["ops"] = f"unsafe/fit-in/{8000 + i}x0/solo{i}"
+        rows.append(base)
+    for j, cid in enumerate(["zebra001", "alpha001", "mid00001"]):
+        dup = make_row(42, 10 + j, "unsafe")
+        dup["clip_id"] = cid
+        dup["ops"] = "unsafe/fit-in/16000x0/sharedclip"  # one shared key
+        rows.append(dup)
+    spark.createDataFrame(pd.DataFrame(rows), schema=CLIPS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(dirs["in"])
+    # NO result_cache_dir: the cross-batch anti-join is OFF, so a dedup here
+    # can only come from the within-batch singleflight (the single input
+    # file keeps all nine rows in one trigger)
+    q, sink = run_pipeline(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
+        allow_unsafe=True, wait=True,
+    )
+    out = sink.read_committed(spark)
+    assert out.count() == 7  # 6 solo + 1 winner for the shared key
+    shared = out.filter(out.ops.contains("sharedclip")).collect()
+    assert len(shared) == 1
+    assert shared[0]["clip_id"] == "alpha001"  # min clip_id wins
+    assert out.select("result_key").distinct().count() == 7
+
+
 def test_admission_quarantines_before_decode(spark, dirs):
     """Admission plane wired into run_pipeline (≅ CheckResolution
     processor.go:506-516 + resolution chain imagor.go:699-760): an
@@ -302,6 +339,9 @@ def test_admission_quarantines_before_decode(spark, dirs):
     unknown = pdf.iloc[[1]].copy()
     unknown["clip_id"] = "noloader1"
     unknown["codec"] = "opus"  # no config row → not_found
+    # distinct ops path: an identical path would (correctly) coalesce with
+    # row 1 under the within-batch singleflight before admission ran
+    unknown["ops"] = "unsafe/fit-in/9000x0/noloader1"
     write_pdf(spark, dirs["in"], pd.concat([pdf, bomb, unknown]))
     q, sink = run_pipeline(
         spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
