@@ -334,6 +334,52 @@ def kmeans_train_quantized(
     return cents
 
 
+def ivf_search_quantized(
+    df: DataFrame,
+    centroids: list[list[int]],
+    query_qvec: list[int],
+    nprobe: int = 2,
+    k: int = 10,
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF **search** on the integer lattice — the query-time half of the
+    trained quantizer (:func:`kmeans_train_quantized` is the build-time
+    half). Routes the query to its ``nprobe`` nearest coarse centroids
+    (driver-side int64 L2 over k×dim ints — no job), prunes the table to
+    those cells, then exact-reranks within them and returns the global
+    top-k by integer L2 distance (ties → lowest id).
+
+    Scale shape: cell pruning is a partition-pruning filter when the table
+    is written partitioned/clustered by ``ivf_cell`` (the point of IVF —
+    scan nprobe/nlist of the data); the rerank is a narrow map; only the
+    top-k TakeOrdered leaves the executors. Every distance is exact int64
+    arithmetic, so a SQL engine replays the search bit-identically
+    (hash-checked, like training)."""
+    if not centroids:
+        raise ValueError("ivf_search_quantized: empty centroid list")
+    nprobe = min(nprobe, len(centroids))
+    # driver-side coarse routing: k×dim ints, exact integer arithmetic
+    coarse = sorted(
+        (sum((q - c) * (q - c) for q, c in zip(query_qvec, cent)), cid)
+        for cid, cent in enumerate(centroids)
+    )
+    probe_cells = sorted(cid for _, cid in coarse[:nprobe])
+    qlit = F.array(*[F.lit(int(x)) for x in query_qvec])
+    assigned = ivf_assign_quantized(df, centroids, qvec_col=qvec_col)
+    pruned = assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    scored = pruned.select(
+        F.col(id_col),
+        F.col("ivf_cell"),
+        F.aggregate(
+            F.zip_with(F.col(qvec_col), qlit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qdist"),
+    )
+    return scored.orderBy(F.asc("qdist"), F.asc(id_col)).limit(k)
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -453,11 +453,12 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oracle_ivf_train(k: int = 4, dim: int = 64, n_iters: int = 3, scale: int = 1000) -> str:
-    """Generate the unrolled Lloyd's replay for DuckDB: quantize → md5
-    init → n_iters × (integer-L2 argmin assign + floor-division centroid
-    update with empty-cell fallback) → final assign → per-cell counts.
-    Exact integer arithmetic throughout — hash-matches the Spark result."""
+def _ivf_train_ctes(k: int, dim: int, n_iters: int, scale: int) -> list[str]:
+    """Shared unrolled-Lloyd's CTE chain for DuckDB: quantize → md5 init →
+    n_iters × (integer-L2 argmin assign + floor-division centroid update
+    with empty-cell fallback) → final assign. Exact integer arithmetic
+    throughout. Leaves ``c{n_iters}`` = trained centroids and
+    ``b{n_iters+1}`` = final cell assignment for the query on top."""
     ctes = [
         # (vec_id, pos, val) on the integer lattice; CAST to DOUBLE first so
         # the multiply is double-precision like Spark's (FLOAT*1000 in
@@ -523,11 +524,91 @@ def oracle_ivf_train(k: int = 4, dim: int = 64, n_iters: int = 3, scale: int = 1
       ) WHERE rk = 1
     )"""
     )
+    return ctes
+
+
+def oracle_ivf_train(k: int = 4, dim: int = 64, n_iters: int = 3, scale: int = 1000) -> str:
+    """Unrolled Lloyd's replay → per-cell populations of the trained
+    quantizer. Hash-matches the Spark result bit-for-bit."""
+    ctes = _ivf_train_ctes(k, dim, n_iters, scale)
+    fin = n_iters + 1
     return (
         "WITH "
         + ",\n    ".join(ctes)
         + f"\n    SELECT cid AS ivf_cell, COUNT(*) AS n_vectors FROM b{fin} GROUP BY 1 ORDER BY 1"
     )
+
+
+def oracle_ivf_search(
+    k: int = 4,
+    dim: int = 64,
+    n_iters: int = 3,
+    scale: int = 1000,
+    qid: int = 0,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """Search-side replay on the same trained quantizer: the query vector
+    is row ``qid``'s quantized embedding; route to the ``nprobe`` nearest
+    trained centroids (int64 L2, ties → lowest cell), exact-rerank within
+    those cells, global top-k by (qdist, vec_id). Every step integer —
+    hash-matches :func:`q_ivf_search`."""
+    ctes = _ivf_train_ctes(k, dim, n_iters, scale)
+    fin = n_iters + 1
+    ctes.append(f"qv AS (SELECT pos, val FROM q WHERE vec_id = {qid})")
+    ctes.append(
+        f"""cd AS (
+      SELECT c.cid, SUM((qv.val - c.val) * (qv.val - c.val)) AS d
+      FROM c{n_iters} c JOIN qv ON qv.pos = c.pos GROUP BY c.cid
+    )"""
+    )
+    ctes.append(
+        f"""probe AS (
+      SELECT cid FROM (
+        SELECT cid, ROW_NUMBER() OVER (ORDER BY d ASC, cid ASC) AS rk FROM cd
+      ) WHERE rk <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT b.vec_id, b.cid FROM b{fin} b JOIN probe p ON p.cid = b.cid
+    )"""
+    )
+    ctes.append(
+        """rer AS (
+      SELECT cand.vec_id, cand.cid AS ivf_cell,
+             CAST(SUM((q.val - qv.val) * (q.val - qv.val)) AS BIGINT) AS qdist
+      FROM cand JOIN q ON q.vec_id = cand.vec_id JOIN qv ON qv.pos = q.pos
+      GROUP BY cand.vec_id, cand.cid
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, ivf_cell, qdist FROM rer ORDER BY qdist ASC, vec_id ASC LIMIT {topk}"
+    )
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search through the TRAINED quantizer, HASH-CHECKED end-to-end:
+    train (quantized Lloyd's, 3 iters) → route the query (row 0's
+    quantized embedding) to the nprobe=2 nearest centroids → exact
+    integer-L2 rerank within those cells → top-10. Exercises the full
+    build+search loop the reference's result-cache never needed but any
+    ANN user does; the oracle replays training unrolled then the search on
+    top (`oracle_ivf_search`)."""
+    from ..functions.similarity import (
+        ivf_search_quantized,
+        kmeans_train_quantized,
+        quantized_vec,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cents = kmeans_train_quantized(emb, k=4, dim=dim, n_iters=3)
+    q = emb.select("vec_id", quantized_vec("embedding").alias("qvec"))
+    query_qvec = [int(x) for x in q.filter(F.col("vec_id") == 0).first()["qvec"]]
+    return ivf_search_quantized(q, cents, query_qvec, nprobe=2, k=10)
 
 
 ORACLE_IVF = """
@@ -839,6 +920,56 @@ SELECT 'img' || CAST(doc_id AS VARCHAR) AS media_id,
        32 + (doc_id * 7) % 64 AS height,
        CAST((32 + doc_id % 64) * (32 + (doc_id * 7) % 64) AS BIGINT) AS n_pixels
 FROM documents
+"""
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-checked end-to-end: per doc a 24-bit BI_RGB
+    bottom-up BMP whose gray pixels are the arithmetic sequence
+    ``p(i) = (doc_id·31 + i·7) mod 256`` (row-major) → encode_bmp →
+    decode_image (magic-sniffed BMP path: stride padding + vertical flip)
+    → integer luma features. ``sum_luma`` is exact int64 (R=G=B=p ⇒
+    luma=p), so DuckDB replays the whole decode arithmetically — the
+    multimodal leg's first non-stub ● row (reference's decode plane ≅
+    processor/vipsprocessor)."""
+    from ..functions.multimodal import encode_bmp, image_features
+
+    docs = _docs_spread(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        from ..functions.multimodal import IMAGE_SCHEMA  # noqa: F401
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 16, 16 + (d * 5) % 16
+                pix = ((d * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256
+                       ).astype(np.uint8).reshape(h, w)
+                rows.append({"media_id": f"bmp{d}", "bytes": encode_bmp(pix),
+                             "width": w, "height": h, "fmt": "bmp", "meta": ""})
+            yield pd.DataFrame(rows)
+
+    from ..functions.multimodal import IMAGE_SCHEMA
+
+    imgs = docs.mapInPandas(gen, schema=IMAGE_SCHEMA)
+    return image_features(imgs).select(
+        "media_id", "width", "height", "n_pixels", "sum_luma")
+
+
+ORACLE_BMP_DECODE = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 16 + (doc_id * 5) % 16 AS h
+  FROM documents
+)
+SELECT 'bmp' || CAST(doc_id AS VARCHAR) AS media_id,
+       w AS width, h AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS sum_luma
+FROM dims, LATERAL (SELECT UNNEST(range(0, w * h)) AS i)
+GROUP BY doc_id, w, h
 """
 
 
@@ -1469,11 +1600,13 @@ EXTRA_QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ivf_cells": q_ivf_cells,
     "ivf_train": q_ivf_train,
+    "ivf_search": q_ivf_search,
     "events_sliding_window": q_events_sliding_window,
     "streaming_tumbling_parity": q_streaming_tumbling,
     "streaming_session_parity": q_streaming_session_window,
     "events_sessionize": q_events_sessionize,
     "image_features": q_image_features,
+    "bmp_decode": q_bmp_decode,
     "q3_shipping_priority": q3_shipping_priority,
     "params_debug": q_params_debug,
     "cache_bypass": q_cache_bypass,
@@ -1505,11 +1638,13 @@ def extra_oracles() -> dict[str, str]:
         "similarity_topk": ORACLE_SIM_TOPK,
         "ivf_cells": ORACLE_IVF,
         "ivf_train": oracle_ivf_train(),
+        "ivf_search": oracle_ivf_search(),
         "events_sliding_window": ORACLE_SLIDING,
         "streaming_tumbling_parity": ORACLE_STREAM_TUMBLING,
         "streaming_session_parity": ORACLE_STREAM_SESSION,
         "events_sessionize": ORACLE_SESSIONIZE,
         "image_features": ORACLE_IMAGE_DIMS,
+        "bmp_decode": ORACLE_BMP_DECODE,
         "q3_shipping_priority": ORACLE_Q3,
         "params_debug": ORACLE_PARAMS_DEBUG,
         "cache_bypass": ORACLE_CACHE_BYPASS,

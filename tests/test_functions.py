@@ -305,6 +305,60 @@ def test_kmeans_quantized_matches_integer_twin(spark):
         kmeans_train(df, k=100, dim=6)
 
 
+def test_ivf_search_quantized_matches_numpy_twin(spark):
+    """Search-side IVF over the trained integer quantizer: nprobe routing
+    prunes to the right cells, the rerank is exact int64 L2, and the
+    global top-k (ties → lowest id) matches a brute-force numpy twin
+    restricted to the probed cells. nprobe > k clamps; empty centroid
+    list raises."""
+    import numpy as np
+    import pandas as pd
+
+    from imagor_spark.functions.similarity import (
+        ivf_search_quantized,
+        kmeans_train_quantized,
+        quantized_vec,
+    )
+
+    rng = np.random.Generator(np.random.Philox(23))
+    centers = np.array([[4.0] * 6, [-4.0] * 6, [4.0] * 3 + [-4.0] * 3])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, (25, 6)) for c in centers]
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(75), "embedding": [list(map(float, r)) for r in pts]})
+    df = spark.createDataFrame(pdf)
+    cents = kmeans_train_quantized(df, k=3, dim=6, n_iters=3)
+    q = df.select("vec_id", quantized_vec("embedding").alias("qvec"))
+    qpts = np.floor(pts.astype(np.float64) * 1000).astype(np.int64)
+    query = [int(x) for x in qpts[0]]
+
+    got = ivf_search_quantized(q, cents, query, nprobe=2, k=5).collect()
+
+    # numpy twin: probe the 2 nearest centroids (ties → lowest cid),
+    # rerank exactly within those cells
+    carr = np.array(cents)
+    cd = ((np.array(query)[None, :] - carr) ** 2).sum(-1)
+    probe = set(np.lexsort((np.arange(3), cd))[:2].tolist())
+    assign = ((qpts[:, None, :] - carr[None, :, :]) ** 2).sum(-1).argmin(1)
+    cand = [i for i in range(75) if int(assign[i]) in probe]
+    dist = {i: int(((qpts[i] - np.array(query)) ** 2).sum()) for i in cand}
+    want = sorted(cand, key=lambda i: (dist[i], i))[:5]
+    assert [r["vec_id"] for r in got] == want
+    assert all(r["qdist"] == dist[r["vec_id"]] for r in got)
+    assert all(int(assign[r["vec_id"]]) in probe for r in got)
+    # row 0 is its own nearest neighbour at distance 0
+    assert got[0]["vec_id"] == 0 and got[0]["qdist"] == 0
+
+    # nprobe beyond k clamps to all cells = exact global search
+    full = ivf_search_quantized(q, cents, query, nprobe=99, k=3).collect()
+    gdist = ((qpts - np.array(query)) ** 2).sum(-1)
+    gwant = sorted(range(75), key=lambda i: (int(gdist[i]), i))[:3]
+    assert [r["vec_id"] for r in full] == gwant
+
+    with pytest.raises(ValueError, match="empty centroid"):
+        ivf_search_quantized(q, [], query)
+
+
 def test_image_features_stub_plumbing(spark):
     import pandas as pd
 
@@ -326,6 +380,63 @@ def test_image_features_stub_plumbing(spark):
     assert out["a"]["n_pixels"] == 128
     assert len(out["a"]["phash"]) == 4
     assert out["b"]["n_pixels"] == -1  # stub path, no crash
+
+
+def test_bmp_pnm_real_decode():
+    """The non-stub pixel formats: BMP 24-bit roundtrip (bottom-up + stride
+    padding), BMP 8-bit paletted, binary PNM P5/P6 (with comments), integer
+    luma exactness, and honest rejects for compressed/unknown streams."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from imagor_spark.functions.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_pnm,
+        encode_bmp,
+    )
+
+    # 24-bit roundtrip at a width whose 3w is NOT 4-aligned (stride pad)
+    rng = np.random.Generator(np.random.Philox(3))
+    pix = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    gray, w, h = decode_image(encode_bmp(pix))
+    assert (w, h) == (5, 7) and np.array_equal(gray, pix)
+
+    # gray pixels through the 24-bit luma: (299p+587p+114p)//1000 == p
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    g2, _, _ = decode_bmp(encode_bmp(ramp))
+    assert np.array_equal(g2, ramp)
+
+    # 8-bit paletted, top-down (negative height), identity-gray palette
+    w8, h8 = 6, 3  # stride 8 → 2 pad bytes/row
+    idx = np.arange(w8 * h8, dtype=np.uint8).reshape(h8, w8) * 10
+    pal = b"".join(struct.pack("<BBBB", v, v, v, 0) for v in range(256))
+    stride = (w8 + 3) & ~3
+    rows = np.zeros((h8, stride), np.uint8)
+    rows[:, :w8] = idx
+    bmp8 = (struct.pack("<2sIHHI", b"BM", 0, 0, 0, 54 + 1024)
+            + struct.pack("<IiiHHIIiiII", 40, w8, -h8, 1, 8, 0, 0, 0, 0, 0, 0)
+            + pal + rows.tobytes())
+    g3, gw, gh = decode_image(bmp8)
+    assert (gw, gh) == (w8, h8) and np.array_equal(g3, idx)
+
+    # PNM: P5 gray with a header comment; P6 rgb luma
+    p5 = b"P5\n# comment\n4 2\n255\n" + bytes(range(8))
+    g5, _, _ = decode_pnm(p5)
+    assert np.array_equal(g5, np.arange(8, dtype=np.uint8).reshape(2, 4))
+    p6 = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    g6, _, _ = decode_image(p6)
+    assert g6.tolist() == [[(299 * 255) // 1000, (114 * 255) // 1000]]
+
+    # honest stubs: compressed BMP / JPEG raise loudly
+    bad = bytearray(encode_bmp(pix))
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+    with _pt.raises(NotImplementedError, match="compression"):
+        decode_image(bytes(bad))
+    with _pt.raises(NotImplementedError, match="stubbed"):
+        decode_image(b"\xff\xd8\xff\xe0jpeg")
 
 
 def test_text_ops_stay_in_codegen(spark, docs):
