@@ -281,6 +281,50 @@ def _decode_ogg_soundfile(blob: bytes) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(data.T), int(sr)
 
 
+# ------------------------------------------- real MP3 via soundfile
+# libsndfile ≥ 1.1.0 ships an MPEG Layer III codec (lame/mpg123), so when
+# soundfile imports AND its libsndfile build lists MP3, the mp3 codec routes
+# through it like FLAC/OGG. Discriminator: the stand-in's magic is
+# ``ID3\x04`` with its version tag 1 at byte 4; a REAL ID3v2.4 header has
+# revision 0x00 there (and ID3v2.3 / bare 0xFFEx frame-sync streams never
+# match the stand-in magic at all) — existing stand-in payloads keep
+# decoding either way.
+
+
+def _soundfile_mp3() -> bool:
+    if not HAVE_SOUNDFILE:
+        return False
+    try:
+        return "MP3" in _soundfile.available_formats()
+    except Exception:
+        return False
+
+
+def _is_standin_mp3(blob: bytes) -> bool:
+    if len(blob) < _HDR.size or blob[:4] != _MAGIC_MP3 or blob[4] != 1:
+        return False
+    try:
+        _, _, sr, ch, bits, _ = _HDR.unpack_from(blob, 0)
+    except struct.error:
+        return False
+    return 0 < sr <= 384_000 and 0 < ch <= 8 and 4 <= bits <= 16
+
+
+def _encode_mp3_soundfile(pcm: np.ndarray, sr: int) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    _soundfile.write(buf, _as_2d(pcm).T, sr, format="MP3", subtype="MPEG_LAYER_III")
+    return buf.getvalue()
+
+
+def _decode_mp3_soundfile(blob: bytes) -> tuple[np.ndarray, int]:
+    import io
+
+    data, sr = _soundfile.read(io.BytesIO(blob), dtype="float32", always_2d=True)
+    return np.ascontiguousarray(data.T), int(sr)
+
+
 def _bits_for_quality(codec: str, quality: int | None) -> int:
     """quality (0-100, encoder default 75 ≅ vipsconfig defaults) → stand-in
     bit depth. Only the lossy stand-ins honour it."""
@@ -305,6 +349,8 @@ def encode(pcm: np.ndarray, sr: int, codec: str, quality: int | None = None) -> 
             return _encode_ogg_soundfile(pcm, sr)
         return _encode_standin(_MAGIC_OGG, pcm, sr, _bits_for_quality(codec, quality), compress=True)
     if codec == CODEC_MP3:
+        if _soundfile_mp3():
+            return _encode_mp3_soundfile(pcm, sr)
         return _encode_standin(_MAGIC_MP3, pcm, sr, _bits_for_quality(codec, quality), compress=True)
     return encode_wav(pcm, sr)
 
@@ -334,7 +380,12 @@ def decode(blob: bytes, target_sr: int | None = None) -> tuple[np.ndarray, int, 
             # where this raises the documented NotImplementedError
             pcm, sr = _decode_standin(blob, _MAGIC_OGG, compress=True)
     elif codec == CODEC_MP3:
-        pcm, sr = _decode_standin(blob, _MAGIC_MP3, compress=True)
+        if not _is_standin_mp3(blob) and _soundfile_mp3():
+            pcm, sr = _decode_mp3_soundfile(blob)
+        else:
+            # stand-in container — or a real bitstream without an MP3-capable
+            # libsndfile, where this raises the documented NotImplementedError
+            pcm, sr = _decode_standin(blob, _MAGIC_MP3, compress=True)
     else:
         raise ValueError("unknown payload codec (≅ ErrUnsupportedFormat)")
     return pcm, sr, codec

@@ -740,6 +740,61 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming SLIDING windows (availableNow) over the docs-derived
+    clip stream: 10-min windows every 5 (each clip in exactly two) × codec,
+    UPDATE mode → foreachBatch :class:`AggSink` (exactly-once commit log,
+    resumable checkpoint, latest-batch-wins fold on read) — completes the
+    north_rule window triple (tumbling/session/sliding) as hash-checked
+    STREAMING gates, same production sink shape as the other two parity
+    queries (no complete mode, no memory sink)."""
+    from ..sources.docs_clips import CLIPS_SCHEMA, cached_clips, clips_cache_dir
+    from ..streaming.sink import AggSink
+
+    cached_clips(spark, sf_dir)
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
+        os.path.join(clips_cache_dir(sf_dir), "data")
+    )
+    agg = (
+        stream.withWatermark("ingest_ts", "5 minutes")
+        .groupBy(
+            F.window("ingest_ts", "10 minutes", "5 minutes")
+            .getField("start")
+            .alias("window_start"),
+            "codec",
+        )
+        .agg(F.count("*").alias("n_clips"))
+    )
+    ck, out_dir = _parity_scratch("sliding")
+    sink = AggSink(out_dir)
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read_latest(spark, ["window_start", "codec"]).orderBy(
+        "window_start", "codec"
+    )
+
+
+ORACLE_STREAM_SLIDING = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 20 < 14 THEN 'wav'
+         WHEN doc_id % 20 < 19 THEN 'flac' ELSE 'ogg' END AS codec,
+    TIMESTAMP '2026-01-01 00:00:00' + (doc_id % 3600) * INTERVAL 1 SECOND AS ts
+  FROM documents
+)
+SELECT time_bucket(INTERVAL '5 minutes', ts) - (j * INTERVAL '5 minutes') AS window_start,
+       codec, COUNT(*) AS n_clips
+FROM base CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS j)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming session windows (availableNow) over the docs-derived
     clip stream: ``session_window(ingest_ts, 10s)`` × codec. The derived
@@ -970,6 +1025,62 @@ SELECT 'bmp' || CAST(doc_id AS VARCHAR) AS media_id,
        CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS sum_luma
 FROM dims, LATERAL (SELECT UNNEST(range(0, w * h)) AS i)
 GROUP BY doc_id, w, h
+"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling, HASH-CHECKED: per doc an FVID clip whose gray
+    pixels are the arithmetic sequence ``p = (doc_id·13 + g·7) mod 256``
+    over the GLOBAL pixel offset g = f·w·h + i → ``sample_frames`` takes
+    every 2nd frame (strided view, no copy) → one exact-integer
+    ``sum_luma`` row per sampled frame. DuckDB replays the sampling and the
+    per-frame sums arithmetically — the frame-sample op a training pipeline
+    runs over 10^9 clips, with the decode honest-stubbed for real MP4."""
+    from ..functions.video import VIDEO_SCHEMA, frame_sample_features
+
+    docs = _docs_spread(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        from ..functions.video import _FVID_HDR, _FVID_MAGIC
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, n = 8 + d % 8, 8 + (d * 3) % 8, 4 + d % 5
+                pix = ((d * 13 + np.arange(n * h * w, dtype=np.int64) * 7) % 256
+                       ).astype(np.uint8)
+                rows.append({
+                    "media_id": f"vid{d}",
+                    "bytes": _FVID_HDR.pack(_FVID_MAGIC, w, h, n, 10) + pix.tobytes(),
+                    "width": w, "height": h, "n_frames": n, "fps": 10,
+                    "fmt": "fvid",
+                })
+            yield pd.DataFrame(rows)
+
+    vids = docs.mapInPandas(gen, schema=VIDEO_SCHEMA)
+    return frame_sample_features(vids, every_n=2).select(
+        "media_id", "frame_idx", "width", "height", "sum_luma")
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h,
+         4 + doc_id % 5 AS n
+  FROM documents
+), frames AS (
+  SELECT doc_id, w, h, f
+  FROM dims, LATERAL (SELECT UNNEST(range(0, n)) AS f)
+  WHERE f % 2 = 0
+)
+SELECT 'vid' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       w AS width, h AS height,
+       CAST(SUM((doc_id * 13 + (f * w * h + i) * 7) % 256) AS BIGINT) AS sum_luma
+FROM frames, LATERAL (SELECT UNNEST(range(0, w * h)) AS i)
+GROUP BY doc_id, f, w, h
 """
 
 
@@ -1603,10 +1714,12 @@ EXTRA_QUERIES = {
     "ivf_search": q_ivf_search,
     "events_sliding_window": q_events_sliding_window,
     "streaming_tumbling_parity": q_streaming_tumbling,
+    "streaming_sliding_parity": q_streaming_sliding,
     "streaming_session_parity": q_streaming_session_window,
     "events_sessionize": q_events_sessionize,
     "image_features": q_image_features,
     "bmp_decode": q_bmp_decode,
+    "video_frame_sample": q_video_frame_sample,
     "q3_shipping_priority": q3_shipping_priority,
     "params_debug": q_params_debug,
     "cache_bypass": q_cache_bypass,
@@ -1641,10 +1754,12 @@ def extra_oracles() -> dict[str, str]:
         "ivf_search": oracle_ivf_search(),
         "events_sliding_window": ORACLE_SLIDING,
         "streaming_tumbling_parity": ORACLE_STREAM_TUMBLING,
+        "streaming_sliding_parity": ORACLE_STREAM_SLIDING,
         "streaming_session_parity": ORACLE_STREAM_SESSION,
         "events_sessionize": ORACLE_SESSIONIZE,
         "image_features": ORACLE_IMAGE_DIMS,
         "bmp_decode": ORACLE_BMP_DECODE,
+        "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
         "q3_shipping_priority": ORACLE_Q3,
         "params_debug": ORACLE_PARAMS_DEBUG,
         "cache_bypass": ORACLE_CACHE_BYPASS,

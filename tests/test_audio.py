@@ -889,3 +889,50 @@ def test_ogg_real_codec_roundtrip():
     noise = out[0, :n] - pcm[:n]
     snr = 10 * np.log10(np.sum(pcm[:n] ** 2) / max(np.sum(noise**2), 1e-20))
     assert snr >= 10  # lossy codec at default quality
+
+
+def test_mp3_standin_vs_real_discriminator():
+    """Stand-in MP3 (magic ``ID3\\x04`` + version tag 1 at byte 4) vs real
+    MPEG streams: an ID3v2.4 header carries revision 0x00 at byte 4, an
+    ID3v2.3 header never matches the stand-in magic, and a bare frame-sync
+    stream starts 0xFFEx — existing stand-in payloads keep decoding whether
+    or not an MP3-capable libsndfile is importable."""
+    from imagor_spark.audio.codecs import _is_standin_mp3, _soundfile_mp3
+
+    pcm = synth_pcm(1, 7, 8000, 300)
+    standin = codecs._encode_standin(codecs._MAGIC_MP3, pcm, 8000, 12, compress=True)
+    assert _is_standin_mp3(standin)
+    out, sr = codecs._decode_standin(standin, codecs._MAGIC_MP3, compress=True)
+    assert sr == 8000 and out.shape[1] == len(pcm)
+    # real ID3v2.4 prefix: "ID3" + major 4 + REVISION 0 + flags + size
+    real_24 = b"ID3\x04\x00\x00\x00\x00\x02\x01" + b"\x00" * 32
+    assert not _is_standin_mp3(real_24)
+    assert codecs.sniff(real_24) == "mp3"
+    # ID3v2.3 and bare frame-sync sniff as mp3 but are never stand-ins
+    assert codecs.sniff(b"ID3\x03\x00" + b"\x00" * 16) == "mp3"
+    assert codecs.sniff(b"\xff\xfb\x90\x00" + b"\x00" * 16) == "mp3"
+    assert not _is_standin_mp3(b"\xff\xfb\x90\x00" + b"\x00" * 16)
+    if not _soundfile_mp3():
+        with pytest.raises((NotImplementedError, ValueError)):
+            codecs.decode(real_24)
+
+
+@pytest.mark.skipif(
+    not codecs.HAVE_SOUNDFILE or not codecs._soundfile_mp3(),
+    reason="MP3-capable libsndfile not installed",
+)
+def test_mp3_real_codec_roundtrip():
+    """With an MPEG-capable libsndfile (≥ 1.1.0), mp3 encode/decode is a
+    REAL lossy bitstream: round trip preserves shape/rate with tolerable
+    quantization noise."""
+    pcm = synth_pcm(1, 8, 16000, 500)
+    blob = codecs.encode(pcm, 16000, "mp3")
+    assert codecs.sniff(blob) == "mp3"
+    assert not codecs.__dict__["_is_standin_mp3"](blob)
+    out, sr, codec = codecs.decode(blob)
+    assert codec == "mp3" and sr == 16000
+    # the encoder may pad frames; compare the overlapping region
+    n = min(out.shape[1], len(pcm))
+    noise = out[0, :n] - pcm[:n]
+    snr = 10 * np.log10(np.sum(pcm[:n] ** 2) / max(np.sum(noise**2), 1e-20))
+    assert snr >= 10
