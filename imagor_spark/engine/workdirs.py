@@ -91,9 +91,11 @@ def purge_stale_workdirs(min_age_s: float = MIN_PURGE_AGE_S) -> int:
     this module)."""
     now = time.time()
     n = 0
-    tmp = tempfile.gettempdir()
-    for pat in SCRATCH_PREFIXES:
-        for d in glob.glob(os.path.join(tmp, pat + "*")):
+    bases = {tempfile.gettempdir()}
+    if os.path.isdir("/dev/shm"):  # tmpfs workdirs (--workdir-tmpfs) leak RAM
+        bases.add("/dev/shm")
+    for pat, base in ((p, b) for p in SCRATCH_PREFIXES for b in bases):
+        for d in glob.glob(os.path.join(base, pat + "*")):
             try:
                 if now - os.path.getmtime(d) < min_age_s:
                     continue
