@@ -350,12 +350,15 @@ def ivf_search_quantized(
     those cells, then exact-reranks within them and returns the global
     top-k by integer L2 distance (ties → lowest id).
 
-    Scale shape: cell pruning is a partition-pruning filter when the table
-    is written partitioned/clustered by ``ivf_cell`` (the point of IVF —
-    scan nprobe/nlist of the data); the rerank is a narrow map; only the
-    top-k TakeOrdered leaves the executors. Every distance is exact int64
-    arithmetic, so a SQL engine replays the search bit-identically
-    (hash-checked, like training)."""
+    Scale shape: an input that ALREADY carries ``ivf_cell`` (the prebuilt
+    index `ivf_assign_quantized` writes, partitioned by cell) is trusted —
+    the nprobe filter then reaches the scan as a PARTITION filter and only
+    nprobe/nlist of the data files are read (the point of IVF; plan-
+    asserted in `test_ivf_cell_prune_is_partition_pruning`). Without the
+    column, cells are assigned on the fly (a narrow map). The rerank is a
+    narrow map; only the top-k TakeOrdered leaves the executors. Every
+    distance is exact int64 arithmetic, so a SQL engine replays the search
+    bit-identically (hash-checked, like training)."""
     if not centroids:
         raise ValueError("ivf_search_quantized: empty centroid list")
     nprobe = min(nprobe, len(centroids))
@@ -366,7 +369,10 @@ def ivf_search_quantized(
     )
     probe_cells = sorted(cid for _, cid in coarse[:nprobe])
     qlit = F.array(*[F.lit(int(x)) for x in query_qvec])
-    assigned = ivf_assign_quantized(df, centroids, qvec_col=qvec_col)
+    if "ivf_cell" in df.columns:
+        assigned = df  # prebuilt index: filter prunes partitions, no re-assign
+    else:
+        assigned = ivf_assign_quantized(df, centroids, qvec_col=qvec_col)
     pruned = assigned.filter(F.col("ivf_cell").isin(probe_cells))
     scored = pruned.select(
         F.col(id_col),

@@ -153,3 +153,47 @@ def test_per_batch_render_plane_shape(spark):
     # one scan of the generated batch lineage (no union re-execution)
     assert plan.count("ArrowEvalPython") <= 1  # with_result_key only
     assert "Union" not in plan
+
+
+def test_ivf_cell_prune_is_partition_pruning(spark, tmp_path):
+    """The IVF scale story: when the vector table is WRITTEN partitioned by
+    ivf_cell (the build-time layout `ivf_assign_quantized` produces), the
+    search's nprobe cell filter must reach the scan as a PARTITION filter —
+    scanning nprobe/nlist of the data, zero data-file reads outside the
+    probed cells — not as a post-scan row filter."""
+    import numpy as np
+    import pandas as pd
+
+    from imagor_spark.functions.similarity import (
+        ivf_assign_quantized,
+        ivf_search_quantized,
+        kmeans_train_quantized,
+        quantized_vec,
+    )
+
+    rng = np.random.Generator(np.random.Philox(31))
+    centers = np.array([[4.0] * 4, [-4.0] * 4, [4.0, -4.0, 4.0, -4.0]])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.4, (30, 4)) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(90), "embedding": [list(map(float, r)) for r in pts],
+    }))
+    cents = kmeans_train_quantized(df, k=3, dim=4, n_iters=2)
+    q = df.select("vec_id", quantized_vec("embedding").alias("qvec"))
+    # build-time layout: cell-partitioned parquet (at scale: the IVF index)
+    out = str(tmp_path / "ivf_table")
+    ivf_assign_quantized(q, cents).write.partitionBy("ivf_cell").parquet(out)
+    table = spark.read.parquet(out)
+
+    query = [int(x) for x in np.floor(pts[0].astype(np.float64) * 1000).astype(np.int64)]
+    # search over the PARTITIONED table: pre-assigned cells short-circuit
+    res = ivf_search_quantized(table, cents, query, nprobe=1, k=5)
+    plan = _plan(res)
+    # the cell restriction is a partition filter on the scan...
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # ...and the scan touches no per-row re-assignment (the stored cell is
+    # trusted; no second argmin over the centroids)
+    rows = res.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["qdist"] == 0
+    assert all(r["ivf_cell"] == rows[0]["ivf_cell"] for r in rows)
