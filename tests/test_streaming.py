@@ -580,3 +580,54 @@ def test_compaction_during_live_stream_with_same_dir_cache(spark, dirs):
     out = sink.read_committed(spark)
     assert out.count() == 15  # every duplicate wave rendered 0 rows
     assert out.select("result_key").distinct().count() == 15
+
+
+def test_aggsink_exactly_once_fold_and_checkpoint_resume(spark, dirs):
+    """AggSink (the parity queries' sink): (a) a replayed batch_id is a
+    no-op (exactly-once), (b) read_latest folds the committed update log
+    latest-batch-wins per group, (c) a second availableNow pass over the
+    SAME checkpoint processes only new files and updates only changed
+    groups — the resume shape complete-mode memory sinks cannot do."""
+    import pandas as pd
+
+    from imagor_spark.streaming.sink import AggSink
+
+    sink = AggSink(dirs["out"])
+    b0 = spark.createDataFrame(pd.DataFrame(
+        {"k": ["a", "b"], "n_clips": [1, 2]}))
+    sink(b0, 0)
+    # replay of batch 0 with DIFFERENT data must be ignored
+    sink(spark.createDataFrame(pd.DataFrame({"k": ["a"], "n_clips": [99]})), 0)
+    got = {r["k"]: r["n_clips"] for r in sink.read_latest(spark, ["k"]).collect()}
+    assert got == {"a": 1, "b": 2}
+    # batch 1 updates 'b' and adds 'c' → latest-batch-wins fold
+    sink(spark.createDataFrame(pd.DataFrame(
+        {"k": ["b", "c"], "n_clips": [5, 7]})), 1)
+    got = {r["k"]: r["n_clips"] for r in sink.read_latest(spark, ["k"]).collect()}
+    assert got == {"a": 1, "b": 5, "c": 7}
+
+    # real checkpointed stream: two availableNow passes, one checkpoint
+    src = os.path.join(dirs["in"], "agg_src")
+    ck = dirs["ckpt"]
+    out2 = os.path.join(dirs["out"], "stream")
+    spark.createDataFrame(pd.DataFrame(
+        {"k": ["x", "x", "y"], "v": [1, 1, 1]})).write.mode("append").parquet(src)
+    sink2 = AggSink(out2)
+
+    def run_pass():
+        agg = (spark.readStream.schema("k string, v long").parquet(src)
+               .groupBy("k").agg(F.count("*").alias("n_clips")))
+        q = (agg.writeStream.foreachBatch(sink2).outputMode("update")
+             .option("checkpointLocation", ck).trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_pass()
+    got = {r["k"]: r["n_clips"] for r in sink2.read_latest(spark, ["k"]).collect()}
+    assert got == {"x": 2, "y": 1}
+    # append new rows; resume from the SAME checkpoint → only the delta is
+    # processed, updated groups win the fold
+    spark.createDataFrame(pd.DataFrame(
+        {"k": ["x", "z"], "v": [1, 1]})).write.mode("append").parquet(src)
+    run_pass()
+    got = {r["k"]: r["n_clips"] for r in sink2.read_latest(spark, ["k"]).collect()}
+    assert got == {"x": 3, "y": 1, "z": 1}
