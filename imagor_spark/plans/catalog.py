@@ -1701,6 +1701,82 @@ LIMIT 10
 """
 
 
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join (customer⋈orders⋈lineitem + BROADCAST
+    nation — the classic big-fact/small-dim mix), selective date + flag
+    predicates pushed to both fact scans, agg, top-20. The plan Catalyst
+    should pick: pushed filters, broadcast for the 25-row dim, shuffle
+    joins only between the big sides."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_events_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed EXACT distinct-count (the result-cache-keying rollup shape
+    from SURVEY §2.6 with a distinct aggregate): 15-min tumbling windows ×
+    event_type, COUNT(DISTINCT user_id) + row count. Exact (not approx_*)
+    so DuckDB hash-matches; at 100 TB the same plan holds — Spark expands
+    the distinct into a two-phase partial/merge aggregate keyed by
+    (window, type, user), both shuffles on the grouping keys."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_DISTINCT = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXTRA_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1721,6 +1797,8 @@ EXTRA_QUERIES = {
     "bmp_decode": q_bmp_decode,
     "video_frame_sample": q_video_frame_sample,
     "q3_shipping_priority": q3_shipping_priority,
+    "q10_returned_items": q_q10_returned_items,
+    "events_window_distinct": q_events_window_distinct,
     "params_debug": q_params_debug,
     "cache_bypass": q_cache_bypass,
     "auto_format": q_auto_format,
@@ -1761,6 +1839,8 @@ def extra_oracles() -> dict[str, str]:
         "bmp_decode": ORACLE_BMP_DECODE,
         "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
         "q3_shipping_priority": ORACLE_Q3,
+        "q10_returned_items": ORACLE_Q10,
+        "events_window_distinct": ORACLE_EVENTS_DISTINCT,
         "params_debug": ORACLE_PARAMS_DEBUG,
         "cache_bypass": ORACLE_CACHE_BYPASS,
         "auto_format": ORACLE_AUTO_FORMAT,
