@@ -197,3 +197,31 @@ def test_ivf_cell_prune_is_partition_pruning(spark, tmp_path):
     rows = res.collect()
     assert rows[0]["vec_id"] == 0 and rows[0]["qdist"] == 0
     assert all(r["ivf_cell"] == rows[0]["ivf_cell"] for r in rows)
+
+
+def test_q10_pushes_predicates_and_broadcasts_dim(spark):
+    """TPC-H Q10 shape: the date-range and returnflag predicates must reach
+    the parquet scans as pushed filters (at 100 TB they prune row groups),
+    and the 25-row nation dim must build a broadcast, never shuffle."""
+    from imagor_spark.plans.catalog import q_q10_returned_items
+
+    df = q_q10_returned_items(spark, SF)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters: [")
+    assert any("GreaterThanOrEqual(o_orderdate" in s.split("]")[0] for s in pushed[1:]), plan
+    assert any("EqualTo(l_returnflag,R)" in s.split("]")[0] for s in pushed[1:]), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_windowed_distinct_is_two_phase_no_python(spark):
+    """Exact COUNT(DISTINCT) must plan as Spark's expand + two-phase
+    partial/merge aggregate — all codegen, no Python eval, no more than
+    the two grouping shuffles the expansion requires."""
+    from imagor_spark.plans.catalog import q_events_window_distinct
+
+    df = q_events_window_distinct(spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
