@@ -387,6 +387,11 @@ def single_run(pipeline_only: bool) -> dict:
                 log("[bench] tmpfs-workdir pipeline row")
                 out["pipeline_tmpfs"] = run_pipeline_bench(spark, sf_dir, wd2)
                 out["pipeline_tmpfs"]["workdir"] = "tmpfs"
+            except Exception as exc:  # twin row is best-effort: the disk
+                # headline must still print one JSON line if RAM is tight
+                log(f"[bench] tmpfs row failed, keeping disk headline: {exc}")
+                out.pop("pipeline_tmpfs", None)
+                out["pipeline_tmpfs_error"] = str(exc)[:300]
             finally:
                 shutil.rmtree(wd2, ignore_errors=True)
         if pipeline_only:
