@@ -1715,15 +1715,37 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "R"
     )
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    # revenue, exactly as the (frozen) DuckDB oracle rounds it — the r5
+    # verdict's lone hash-fail was NOT the join but money rounding:
+    #   * a double SUM is summation-order noise at the last ulp, and one
+    #     sf0.01 group's exact sum is a perfect half-cent tie (…843.5950);
+    #   * DuckDB's ROUND(double,2) rounds the true BINARY value
+    #     (floor(x*100+0.5)/100: …59499999997 → .59), while Spark's Round
+    #     re-reads the shortest decimal repr ("….595" → HALF_UP → .60).
+    # Fix on the Spark side only: aggregate EXACT integer 1e-4 units
+    # (price/discount are 2-dp values, so each product is an exact 4-dp
+    # decimal), convert once to the nearest double — which is what a
+    # correctly-rounded double sum (DuckDB's, verified at sf0.001/01/1)
+    # produces — then apply DuckDB's bit-level rounding. Verified
+    # bit-identical to the frozen oracle for every top-20 row at
+    # sf0.001/sf0.01/sf0.1 (tools/q10_boundary_analysis.py). Revenues are
+    # strictly positive, so the half-away-from-zero branch is floor-only.
+    cents4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    revenue = (
+        F.floor(cents4.cast("double") / F.lit(10000.0) * 100 + F.lit(0.5)).cast(
+            "double"
+        )
+        / F.lit(100.0)
+    ).alias("revenue")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count("*").alias("n_items"),
-        )
+        .agg(revenue, F.count("*").alias("n_items"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
