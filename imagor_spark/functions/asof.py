@@ -90,8 +90,20 @@ def asof_join_pandas(
     right_cols: list[str],
     strict: bool = False,
     suffix: str = "_right",
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """cogroup + merge_asof per key (reference implementation)."""
+    """cogroup + merge_asof (reference implementation of :func:`asof_join`).
+
+    Cogrouped on a HASH BUCKET of the key, not the key itself: a per-key
+    cogroup invokes one pandas merge per key — thousands of sub-millisecond
+    ``merge_asof`` calls whose per-group Arrow/Python overhead dominated the
+    r5 bench 22× over the union+window sibling. Bucketing keeps the same
+    one-shuffle cost but amortizes the Python boundary over ~|keys|/buckets
+    keys per call, with ``merge_asof(by=key)`` doing the per-key as-of
+    matching inside the bucket — identical semantics, identical output.
+    ``n_buckets`` defaults to the session's default parallelism (at scale:
+    enough buckets that one bucket ≪ executor memory; any value returns the
+    same rows)."""
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
         + [f"{c}{suffix} {right.schema[c].dataType.simpleString()}" for c in right_cols]
@@ -103,37 +115,49 @@ def asof_join_pandas(
     # names except the key (observed: same-named non-key columns can be
     # dropped from the right pdf in Spark 4.1's cogroup Arrow transfer)
     rts = ts + suffix
-    right_renamed = right.select(
-        F.col(key),
+    if n_buckets is None:
+        n_buckets = left.sparkSession.sparkContext.defaultParallelism
+    bucket = F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("__bucket")
+    left_b = left.select(bucket, *[F.col(c) for c in left_cols])
+    # the right-side key is renamed too (__rkey): with the bucket as the
+    # cogroup key, `key` is an ordinary column on both sides, and Spark
+    # 4.1's cogroup Arrow transfer drops same-named right-side columns
+    right_b = right.select(
+        bucket,
+        F.col(key).alias("__rkey"),
         F.col(ts).alias(rts),
         *[F.col(c).alias(c + suffix) for c in right_cols],
     )
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if l_pdf.empty:
-            # right-only key: cogroup still calls us; nothing to emit
+            # right-only bucket: cogroup still calls us; nothing to emit
             # (and the empty frame may arrive without column labels)
             return pd.DataFrame(
                 columns=left_cols + [c + suffix for c in right_cols] + [rts]
             )
-        l_pdf = l_pdf.sort_values(ts)
+        l_pdf = l_pdf.drop(columns="__bucket").sort_values(ts, kind="stable")
         if r_pdf.empty:
             for c in right_cols:
                 l_pdf[c + suffix] = None
             l_pdf[rts] = pd.NaT
             return l_pdf
-        r_pdf = r_pdf.sort_values(rts)[[rts] + [c + suffix for c in right_cols]]
+        r_pdf = r_pdf.sort_values(rts, kind="stable")[
+            ["__rkey", rts] + [c + suffix for c in right_cols]
+        ]
         return pd.merge_asof(
             l_pdf,
             r_pdf,
             left_on=ts,
             right_on=rts,
+            left_by=key,
+            right_by="__rkey",
             allow_exact_matches=allow_exact,
             direction="backward",
-        )
+        ).drop(columns="__rkey")
 
     return (
-        left.groupBy(key)
-        .cogroup(right_renamed.groupBy(key))
+        left_b.groupBy("__bucket")
+        .cogroup(right_b.groupBy("__bucket"))
         .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
     )
