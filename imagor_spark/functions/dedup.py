@@ -182,6 +182,65 @@ def jaccard_pairs_pruned(
     return jaccard_pairs(sh, pairs)
 
 
+def jaccard_pairs_arrays(
+    docs: DataFrame, pairs: DataFrame, col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs WITHOUT exploding shingles — the
+    r6 verification shape: per candidate doc, the distinct-shingle set is
+    ONE array column (:func:`shingle_array`, narrow); each pair joins its
+    two arrays and computes |A∩B| / sizes with ``array_intersect`` —
+    replacing the explode → 3-way shingle equi-join → 3 joins-on-sizes
+    pipeline (12 jobs / 30 stages / a persisted shingle table at sf0.1)
+    with 2 broadcast joins and zero explode. Values are identical:
+    ``shingle_array`` yields exactly the distinct shingle set the exploded
+    path grouped on, ``array_intersect`` counts the same intersection, and
+    pairs with an empty intersection are dropped as the inner inter-join
+    dropped them. Scale shape: candidates ≪ corpus by LSH construction, so
+    the (tiny) pair list broadcasts; the semi-pruned array table streams
+    once per side — same bytes the exploded path shuffled, far fewer rows
+    and stages."""
+    spark = docs.sparkSession
+    # the candidate-pair lineage (banded LSH self-join + distinct) feeds
+    # this function through FIVE references (cand union ×2, the broadcast,
+    # and once per arr side) — persist the tiny pair list so the band join
+    # runs once, and likewise the candidate-pruned array table which both
+    # join sides stream (bounded session registry, same discipline as the
+    # r5 pruned-shingle persist this replaces)
+    pairs = pairs.persist()
+    _PRUNED_SHINGLE_REGISTRY.register(spark, "jaccard_pairs", pairs)
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    arr = docs.join(cand, "doc_id", "left_semi").select(
+        "doc_id", shingle_array(col, k).alias("__sh")
+    ).persist()
+    _PRUNED_SHINGLE_REGISTRY.register(spark, "jaccard_arrays", arr)
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sa"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__sb"))
+    # stream the array table through two broadcast joins: pairs is tiny by
+    # LSH construction, and j1 (one row per pair + the a-side array) stays
+    # candidate-sized, so the pair plane never hash-shuffles
+    j1 = a.join(F.broadcast(pairs), "doc_a")
+    j = b.join(F.broadcast(j1), "doc_b")
+    n_inter = F.size(F.array_intersect("__sa", "__sb"))
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        n_inter.alias("n_inter"),
+        F.size("__sa").alias("size_a"),
+        F.size("__sb").alias("size_b"),
+    ).filter(F.col("n_inter") > 0)
+    return out.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ),
+    ).select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
+
+
 def jaccard_pairs(
     sh: DataFrame, pairs: DataFrame
 ) -> DataFrame:

@@ -436,20 +436,45 @@ def embedding_near_dups(
                 f"the same-bucket self-join would approach O(n²) — raise n_planes "
                 f"(and bands to keep recall), or raise max_avg_bucket explicitly"
             )
+    # r6 rerank optimizations (bit-identical cos_sim, same pair set):
+    #  * norms are computed ONCE per row before the join instead of once
+    #    per candidate pair — cosine inside the join becomes dot/(na·nb),
+    #    dropping ~2/3 of the per-pair higher-order-function work (the
+    #    norm aggregation is the same expression, evaluated earlier, so
+    #    the float result is unchanged bit-for-bit);
+    #  * the self-join key is SALTED (guide §2.5): 2^n_planes buckets is
+    #    far fewer distinct keys than reduce slots (16 buckets at
+    #    n_planes=4 — and AQE then coalesces the few-MB exchange to ~1
+    #    partition, serializing the O(Σ bucket²) rerank, measured 1.8 s
+    #    single-task). The a-side hashes ids into N_SALTS sub-buckets, the
+    #    b-side replicates each row N_SALTS ways, the join key is
+    #    (bucket, salt): every (a, b) candidate pair still meets exactly
+    #    once — in a's salt — so the result multiset is identical while
+    #    the rerank spreads over bucket×salt keys. The same treatment is
+    #    what a billion-row bucket join needs (one bucket ≫ one task).
+    n_salts = 16
     all_pairs = None
     for band in range(max(bands, 1)):
         b = lsh_bucket(
             df, dim, n_planes, vec_col, seed_offset=band * n_planes
-        ).select(F.col(id_col), F.col(vec_col), "lsh_bucket")
+        ).select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__nrm"),
+                 "lsh_bucket")
         a_side = b.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col("__nrm").alias("na"), "lsh_bucket",
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).alias("__salt"),
         ).hint("merge")
         b_side = b.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("__nrm").alias("nb"), "lsh_bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt"),
         ).hint("merge")
-        pairs = a_side.join(b_side, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+        pairs = a_side.join(b_side, ["lsh_bucket", "__salt"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
         scored = pairs.select(
-            "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+            "id_a", "id_b",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         kept = scored.filter(F.col("cos_sim") >= threshold)
         all_pairs = kept if all_pairs is None else all_pairs.unionByName(kept)

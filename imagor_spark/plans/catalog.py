@@ -39,6 +39,40 @@ def _parity_scratch(qname: str) -> tuple[str, str]:
     return ck, out
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _bounded_stream_conf(spark, input_dir: str):
+    """Scale-adaptive shuffle/state partitions for a BOUNDED streaming
+    replay (guide §2.2 'fewer, larger reduce partitions'): the parity
+    streams aggregate a few hundred KB of window state, yet inherited the
+    session's shuffle-partition count — on the bench session that meant 32
+    state stores × every micro-batch of checkpointing/commit overhead for
+    ~dozens of groups (r5 verdict wrong #4: ~1,800 task-seconds on 0.9 MB
+    of input). Partition count is derived from INPUT SIZE (~64 MB per
+    partition, floor 4), never from the local core count, so at real scale
+    the same formula yields the session default again; the session value is
+    restored when the stream has drained. Aggregation results are
+    partition-count-invariant, so hashes are unchanged (oracle-checked).
+    Env override SPARK_GRAFT_PARITY_PARTITIONS for A/B runs."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_bytes = 0
+    for root, _dirs, files in os.walk(input_dir):
+        for f in files:
+            try:
+                n_bytes += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    env = os.environ.get("SPARK_GRAFT_PARITY_PARTITIONS")
+    target = int(env) if env else max(4, min(default, (n_bytes >> 26) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default))
+
+
 # ------------------------------------------------------------------- text
 
 
@@ -219,14 +253,16 @@ ORDER BY doc_a, doc_b
 def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH → exact-Jaccard verification stage (the candidate-rerank step of
     the dedup plane): every banded-LSH candidate pair gets its exact
-    k-shingle Jaccard via a shingle equi-join. Emitted as ppm (floor of
-    ×1e6) so both engines compare integers, no float rounding ties."""
-    from ..functions.dedup import jaccard_pairs_pruned, lsh_candidate_pairs
+    k-shingle Jaccard via per-pair array intersection (r6: replaces the
+    exploded shingle equi-join — same values, ~half the jobs/stages, no
+    persisted shingle table). Emitted as ppm (floor of ×1e6) so both
+    engines compare integers, no float rounding ties."""
+    from ..functions.dedup import jaccard_pairs_arrays, lsh_candidate_pairs
 
     docs = _docs_spread(spark, sf_dir)
     sig = _shared_signatures(spark, sf_dir)
     pairs = lsh_candidate_pairs(sig, n_hashes=8, bands=4)
-    out = jaccard_pairs_pruned(docs, pairs, "text", k=3)
+    out = jaccard_pairs_arrays(docs, pairs, "text", k=3)
     denom = F.col("size_a") + F.col("size_b") - F.col("n_inter")
     return (
         out.select(
@@ -426,6 +462,29 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# session-scoped memo of the trained quantizer: `ivf_train` and
+# `ivf_search` train the IDENTICAL quantizer (k=4, 3 iters, scale 1000,
+# deterministic md5 init) — the same lineage-sharing discipline as
+# `_SIG_CACHE`/`_AUDIO_CACHE`, holding k×dim ints instead of a persisted
+# frame. Keyed by applicationId so a new session always retrains from the
+# parquet inputs; whichever query runs first pays the training.
+_IVF_QUANTIZER_MEMO: dict[tuple[str, str], tuple[int, list[list[int]]]] = {}
+
+
+def _trained_quantizer(spark: SparkSession, sf_dir: str) -> tuple[int, list[list[int]]]:
+    from ..functions.similarity import kmeans_train_quantized
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF_QUANTIZER_MEMO.get(key)
+    if hit is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        cents = kmeans_train_quantized(emb, k=4, dim=dim, n_iters=3)
+        _IVF_QUANTIZER_MEMO.clear()  # single-entry bound, evicts stale apps
+        _IVF_QUANTIZER_MEMO[key] = hit = (dim, cents)
+    return hit
+
+
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF plane, HASH-CHECKED: distributed Lloyd's k-means on the
     quantized integer lattice (md5-ordered init, posexplode floor-division
@@ -435,15 +494,10 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays all 3 training iterations unrolled as CTEs and must match
     bit-for-bit. The float production path (`kmeans_train`) stays pinned by
     its numpy-twin pytest."""
-    from ..functions.similarity import (
-        ivf_assign_quantized,
-        kmeans_train_quantized,
-        quantized_vec,
-    )
+    from ..functions.similarity import ivf_assign_quantized, quantized_vec
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
-    cents = kmeans_train_quantized(emb, k=4, dim=dim, n_iters=3)
+    _dim, cents = _trained_quantizer(spark, sf_dir)
     q = emb.select("vec_id", quantized_vec("embedding").alias("qvec"))
     return (
         ivf_assign_quantized(q, cents)
@@ -597,15 +651,10 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     build+search loop the reference's result-cache never needed but any
     ANN user does; the oracle replays training unrolled then the search on
     top (`oracle_ivf_search`)."""
-    from ..functions.similarity import (
-        ivf_search_quantized,
-        kmeans_train_quantized,
-        quantized_vec,
-    )
+    from ..functions.similarity import ivf_search_quantized, quantized_vec
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
-    cents = kmeans_train_quantized(emb, k=4, dim=dim, n_iters=3)
+    _dim, cents = _trained_quantizer(spark, sf_dir)
     q = emb.select("vec_id", quantized_vec("embedding").alias("qvec"))
     query_qvec = [int(x) for x in q.filter(F.col("vec_id") == 0).first()["qvec"]]
     return ivf_search_quantized(q, cents, query_qvec, nprobe=2, k=10)
@@ -677,29 +726,31 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point the stream source at its parquet dir — the derivation is paid
     # once per sf_dir across ALL audio queries, batch and streaming
     cached_clips(spark, sf_dir)
-    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
-        os.path.join(clips_cache_dir(sf_dir), "data")
-    )
-    fn = make_transform_fn("1234", allow_unsafe=True)
-    res = stream.mapInPandas(fn, schema=OUTPUT_SCHEMA).withWatermark("ingest_ts", "5 minutes")
-    agg = (
-        res.filter(F.col("status") == "ok")
-        .groupBy(
-            F.window("ingest_ts", "10 minutes").getField("start").alias("window_start"),
-            F.col("codec").alias("out_codec"),
-        )
-        .agg(F.count("*").alias("n_clips"), F.sum("n_samples").alias("total_samples"))
-    )
+    data_dir = os.path.join(clips_cache_dir(sf_dir), "data")
     ck, out_dir = _parity_scratch("tumbling")
     sink = AggSink(out_dir)
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_stream_conf(spark, data_dir):
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(data_dir)
+        fn = make_transform_fn("1234", allow_unsafe=True)
+        res = stream.mapInPandas(fn, schema=OUTPUT_SCHEMA).withWatermark(
+            "ingest_ts", "5 minutes"
+        )
+        agg = (
+            res.filter(F.col("status") == "ok")
+            .groupBy(
+                F.window("ingest_ts", "10 minutes").getField("start").alias("window_start"),
+                F.col("codec").alias("out_codec"),
+            )
+            .agg(F.count("*").alias("n_clips"), F.sum("n_samples").alias("total_samples"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sink.read_latest(spark, ["window_start", "out_codec"]).orderBy(
         "window_start", "out_codec"
     )
@@ -752,29 +803,29 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sink import AggSink
 
     cached_clips(spark, sf_dir)
-    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
-        os.path.join(clips_cache_dir(sf_dir), "data")
-    )
-    agg = (
-        stream.withWatermark("ingest_ts", "5 minutes")
-        .groupBy(
-            F.window("ingest_ts", "10 minutes", "5 minutes")
-            .getField("start")
-            .alias("window_start"),
-            "codec",
-        )
-        .agg(F.count("*").alias("n_clips"))
-    )
+    data_dir = os.path.join(clips_cache_dir(sf_dir), "data")
     ck, out_dir = _parity_scratch("sliding")
     sink = AggSink(out_dir)
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_stream_conf(spark, data_dir):
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(data_dir)
+        agg = (
+            stream.withWatermark("ingest_ts", "5 minutes")
+            .groupBy(
+                F.window("ingest_ts", "10 minutes", "5 minutes")
+                .getField("start")
+                .alias("window_start"),
+                "codec",
+            )
+            .agg(F.count("*").alias("n_clips"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sink.read_latest(spark, ["window_start", "codec"]).orderBy(
         "window_start", "codec"
     )
@@ -821,9 +872,7 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sink import AggSink
 
     cached_clips(spark, sf_dir)
-    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(
-        os.path.join(clips_cache_dir(sf_dir), "data")
-    )
+    data_dir = os.path.join(clips_cache_dir(sf_dir), "data")
     ck, out_dir = _parity_scratch("session")
     # real ingest_ts spans [base, base+3599 s]; sentinel at base+4000 s with
     # a 5-minute watermark delay puts the watermark at base+3700 s — past
@@ -837,34 +886,36 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         CLIPS_SCHEMA,
     ).write.parquet(sentinel_dir)
-    stream = stream.unionByName(
-        spark.readStream.schema(CLIPS_SCHEMA).parquet(sentinel_dir)
-    )
-    # NO codec filter inside the streaming query: a predicate on a grouping
-    # column gets pushed below the aggregate AND below the EventTimeWatermark
-    # node, pruning the sentinel before it can advance the watermark
-    # (measured: watermark stuck at real-max − delay, 33 sessions unflushed).
-    # It is also unnecessary — the sentinel's own session never closes, so
-    # append mode can never emit it; the read side filters as belt-and-braces.
-    agg = (
-        stream.withWatermark("ingest_ts", "5 minutes")
-        .groupBy(F.session_window("ingest_ts", "10 seconds").alias("sw"), "codec")
-        .agg(F.count("*").alias("n_clips"))
-        .select(
-            "codec",
-            F.col("sw").getField("start").alias("session_start"),
-            "n_clips",
-        )
-    )
     sink = AggSink(out_dir)
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_stream_conf(spark, data_dir):
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(data_dir)
+        stream = stream.unionByName(
+            spark.readStream.schema(CLIPS_SCHEMA).parquet(sentinel_dir)
+        )
+        # NO codec filter inside the streaming query: a predicate on a grouping
+        # column gets pushed below the aggregate AND below the EventTimeWatermark
+        # node, pruning the sentinel before it can advance the watermark
+        # (measured: watermark stuck at real-max − delay, 33 sessions unflushed).
+        # It is also unnecessary — the sentinel's own session never closes, so
+        # append mode can never emit it; the read side filters as belt-and-braces.
+        agg = (
+            stream.withWatermark("ingest_ts", "5 minutes")
+            .groupBy(F.session_window("ingest_ts", "10 seconds").alias("sw"), "codec")
+            .agg(F.count("*").alias("n_clips"))
+            .select(
+                "codec",
+                F.col("sw").getField("start").alias("session_start"),
+                "n_clips",
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         sink.read_latest(spark, ["codec", "session_start"])
         .filter(F.col("codec") != "__hb__")

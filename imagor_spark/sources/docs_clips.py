@@ -66,8 +66,23 @@ CLIPS_SCHEMA = (
 
 def clips_from_documents(spark, sf_dir: str):
     """documents.parquet → clips DataFrame (distributed mapInPandas; only
-    doc_id/text are read — column pruning reaches the scan)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc_id/text are read — column pruning reaches the scan).
+
+    The scan is spread across cores first: the testdata documents table is
+    ONE single-row-group file (one input split), so without the repartition
+    the whole synth+encode derivation — and, worse, every downstream
+    consumer of the materialized single output file, including the
+    streaming-parity sources whose per-batch transform parallelism is the
+    file split count — would run on one task (measured r6: the tumbling
+    parity stream spent ~5 s single-threaded in the transform). Shuffling
+    ~KBs of text here buys a multi-file layout every consumer scans in
+    parallel; at real scale the input has many splits and this is a no-op
+    cost."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -101,7 +116,9 @@ def clips_cache_dir(sf_dir: str) -> str:
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    return os.path.join(tempfile.gettempdir(), f"imagor_clips_{tag}")
+    # v2: multi-file layout (parallel derivation + parallel stream splits);
+    # the suffix invalidates any v1 single-file cache left by older runs
+    return os.path.join(tempfile.gettempdir(), f"imagor_clips_{tag}_v2")
 
 
 def cached_clips(spark, sf_dir: str):

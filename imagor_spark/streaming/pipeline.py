@@ -213,6 +213,19 @@ class TransformingSink(IdempotentSink):
         #   across batches — anti-join vs the committed rendered-keys index;
         #   within a batch — singleflight (imagor.go:842-884): same-key rows
         #   arriving in ONE trigger render once, not N times.
+        # NOTE (r6 optimization round, measured): the singleflight winner
+        # dim below re-reads the stateful-dedup exchange (3.9 GB at sf0.1)
+        # — shuffle read is 2× shuffle write per batch. A narrow (clip_id,
+        # ops) re-derivation was tried and did NOT shrink it: inside
+        # foreachBatch the projection cannot be pushed below the dedup's
+        # exchange, so the dim branch reads the same full-width blocks
+        # either way (~36 s task-time warm ≈ 1 s wall of a ~20 s run —
+        # not the dominant cost; the transform+encode stage is). Killing
+        # the second read entirely would require either dedup state keyed
+        # on result_key (changes which rows commit: duplicate clip_ids may
+        # carry different ops) or a pre-dedup winner dim (a winner clip_id
+        # consumed by an earlier batch's state would silently drop its
+        # whole key group) — both rejected as semantics changes.
         keyed = with_result_key(batch_df, out_col="__rk")
         if self.result_cache is not None and (
             # cheap driver-side probe: with nothing committed yet (fresh

@@ -111,12 +111,16 @@ class IdempotentSink:
         spark = batch_df.sparkSession
         batch_df = self._with_provenance(batch_df)
         data_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
-        # zstd instead of the snappy default: PCM16 payloads compress ~2×
-        # under zstd and barely under snappy — on a disk-bound sink this
-        # trades CPU (which scales with executors) for write bandwidth
-        # (which does not scale within a node). Env-overridable for A/B
-        # measurement (BENCH.md codec study).
-        compression = os.environ.get("SPARK_GRAFT_SINK_COMPRESSION", "zstd")
+        # snappy (r6 A/B, reversing the r3 zstd choice with measurement):
+        # the payload column is ALREADY-ENCODED media — zstd recovers only
+        # ~5% (2,711 MB written vs 2,853 MB raw at sf0.1) yet costs ~20 s
+        # of a ~27 s pipeline run in compression CPU (measured same-host-
+        # phase: zstd 47.4 s, snappy 27.3 s, uncompressed 30.3 s). Snappy
+        # is near-free CPU and its 5% loss costs ~1.2 s even on the
+        # 122 MB/s disk workdir — it wins on BOTH workdirs, and the same
+        # holds at scale for any sink whose payloads are compressed codecs.
+        # Env-overridable for A/B measurement (BENCH.md codec study).
+        compression = os.environ.get("SPARK_GRAFT_SINK_COMPRESSION", "snappy")
         writer = batch_df.write.mode("overwrite").option("compression", compression)
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
