@@ -101,6 +101,69 @@ def test_jaccard_exact(spark):
     assert abs(out["jaccard"] - 3 / 7) < 1e-6
 
 
+def test_jaccard_arrays_matches_exploded_twin(spark):
+    """The r6 array-intersection verification path must produce exactly the
+    rows of the exploded shingle-equi-join it replaced (same n_inter/sizes
+    for every pair, pairs with empty intersections dropped by both)."""
+    import pandas as pd
+
+    from imagor_spark.functions.dedup import jaccard_pairs, jaccard_pairs_arrays, shingles
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d e f", "a b c d x y",
+            "p q r s t u", "completely disjoint words here now",
+        ],
+    }))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 1, 3], "doc_b": [2, 3, 4]})
+    )
+    old = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in jaccard_pairs(shingles(docs, "text", 2), pairs).collect()
+    }
+    new = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in jaccard_pairs_arrays(docs, pairs, "text", 2).collect()
+    }
+    assert old == new and (1, 2) in new  # disjoint pairs dropped by both
+
+
+def test_asof_pandas_bucket_count_invariant(spark):
+    """The bucketed cogroup (r6) must return identical rows at any bucket
+    count — 1 bucket (everything in one pandas call) vs many (per-key
+    splits ride merge_asof's by= matching)."""
+    import pandas as pd
+
+    from imagor_spark.functions.asof import asof_join_pandas
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "b", "c"],
+        "ts": pd.to_datetime(["2026-01-01 00:00:10", "2026-01-01 00:01:00",
+                              "2026-01-01 00:00:30", "2026-01-01 00:00:05"]),
+        "ev": [1, 2, 3, 4],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2026-01-01 00:00:10", "2026-01-01 00:00:50",
+                              "2026-01-01 00:00:20"]),
+        "rv": [10, 20, 30],
+    }))
+    outs = [
+        sorted(
+            tuple(r) for r in asof_join_pandas(
+                left, right, key="k", ts="ts", right_cols=["rv"],
+                strict=True, n_buckets=nb,
+            ).collect()
+        )
+        for nb in (1, 7)
+    ]
+    assert outs[0] == outs[1]
+    matched = {r[2]: r[3] for r in outs[0]}  # ev -> rv_right
+    assert matched == {1: None, 2: 20, 3: 30, 4: None}  # strict '<'
+
+
 def test_simhash_similar_docs_close(spark):
     import pandas as pd
 
