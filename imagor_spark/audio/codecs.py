@@ -264,13 +264,33 @@ def _is_standin_ogg(blob: bytes) -> bool:
     return 0 < sr <= 384_000 and 0 < ch <= 8 and 4 <= bits <= 16
 
 
-def _encode_ogg_soundfile(pcm: np.ndarray, sr: int) -> bytes:
+def _sf_write_with_quality(buf, pcm: np.ndarray, sr: int, fmt: str,
+                           subtype: str, quality: int | None) -> None:
+    """soundfile write honouring the 0-100 quality knob via libsndfile's
+    compression level (1.0 = max compression/smallest). Without this the
+    max_bytes quality-retry loop (process.go:144-177) re-encoded identical
+    bytes on soundfile hosts and could never meet the budget (r5 ADVICE
+    #3). Older soundfile builds without the kwarg fall back to default
+    quality — the retry then converges on the floor as before."""
+    kwargs = {}
+    if quality is not None:
+        q = max(1, min(100, quality))
+        kwargs["compression_level"] = round(1.0 - q / 100.0, 4)
+    try:
+        _soundfile.write(buf, _as_2d(pcm).T, sr, format=fmt, subtype=subtype,
+                         **kwargs)
+    except TypeError:  # soundfile < 0.12: no compression_level kwarg
+        _soundfile.write(buf, _as_2d(pcm).T, sr, format=fmt, subtype=subtype)
+
+
+def _encode_ogg_soundfile(pcm: np.ndarray, sr: int,
+                          quality: int | None = None) -> bytes:
     import io
 
     buf = io.BytesIO()
-    # Vorbis has no bit-depth knob; the stand-in's quality→bits mapping has
-    # no analogue here (libsndfile uses its default encoder quality)
-    _soundfile.write(buf, _as_2d(pcm).T, sr, format="OGG", subtype="VORBIS")
+    # Vorbis has no bit-depth knob; quality maps to the encoder's
+    # compression level instead (the stand-in's quality→bits analogue)
+    _sf_write_with_quality(buf, pcm, sr, "OGG", "VORBIS", quality)
     return buf.getvalue()
 
 
@@ -310,11 +330,12 @@ def _is_standin_mp3(blob: bytes) -> bool:
     return 0 < sr <= 384_000 and 0 < ch <= 8 and 4 <= bits <= 16
 
 
-def _encode_mp3_soundfile(pcm: np.ndarray, sr: int) -> bytes:
+def _encode_mp3_soundfile(pcm: np.ndarray, sr: int,
+                          quality: int | None = None) -> bytes:
     import io
 
     buf = io.BytesIO()
-    _soundfile.write(buf, _as_2d(pcm).T, sr, format="MP3", subtype="MPEG_LAYER_III")
+    _sf_write_with_quality(buf, pcm, sr, "MP3", "MPEG_LAYER_III", quality)
     return buf.getvalue()
 
 
@@ -346,11 +367,11 @@ def encode(pcm: np.ndarray, sr: int, codec: str, quality: int | None = None) -> 
         return _encode_standin(_MAGIC_FLAC, pcm, sr, 16, compress=True)
     if codec == CODEC_OGG:
         if HAVE_SOUNDFILE:
-            return _encode_ogg_soundfile(pcm, sr)
+            return _encode_ogg_soundfile(pcm, sr, quality)
         return _encode_standin(_MAGIC_OGG, pcm, sr, _bits_for_quality(codec, quality), compress=True)
     if codec == CODEC_MP3:
         if _soundfile_mp3():
-            return _encode_mp3_soundfile(pcm, sr)
+            return _encode_mp3_soundfile(pcm, sr, quality)
         return _encode_standin(_MAGIC_MP3, pcm, sr, _bits_for_quality(codec, quality), compress=True)
     return encode_wav(pcm, sr)
 

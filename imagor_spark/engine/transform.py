@@ -270,6 +270,40 @@ def with_result_key(df, ops_col: str = "ops", out_col: str = "result_key"):
     return df.withColumn(out_col, rk(F.col(ops_col)))
 
 
+def make_key_validity_udf(
+    secret: str | None,
+    alg: str = "sha1",
+    truncate: int = 0,
+    allow_unsafe: bool | None = None,
+    now_ms: int | None = None,
+):
+    """pandas UDF ``ops → struct<rk, ok>``: the result-cache key PLUS the
+    cheap signature/expiry verdict (the same ``_OpsCache`` logic the
+    transform applies), computed WITHOUT touching payloads. Lets the
+    within-batch singleflight prefer a row that will actually render as
+    its winner — the reference validates (ErrExpired/signature,
+    imagor.go:290-338) BEFORE the suppress/singleflight at imagor.go:842,
+    so a rejected request can never suppress a valid one; keying on the
+    utility-stripped path alone allowed exactly that (r5 ADVICE #1)."""
+    signer = HMACSigner(alg, truncate, secret) if secret is not None else None
+    if allow_unsafe is None:
+        allow_unsafe = signer is None
+    fixed_now = now_ms
+
+    @F.pandas_udf("rk string, ok boolean")
+    def kv(ops: pd.Series) -> pd.DataFrame:
+        now = fixed_now if fixed_now is not None else int(time.time() * 1000)
+        cache = _OpsCache(signer, now, allow_unsafe)
+        rks, oks = [], []
+        for o in ops:
+            _p, _canonical, rk, reject = cache.get(o)
+            rks.append(rk)
+            oks.append(not reject)
+        return pd.DataFrame({"rk": rks, "ok": oks})
+
+    return kv
+
+
 def _anti_join_rendered(keyed, rendered_keys_df, broadcast_index: bool = True,
                         key_col: str = "__rk"):
     """Anti-join a pre-keyed frame against the committed index (shared by
@@ -301,7 +335,8 @@ def skip_rendered(df, rendered_keys_df, ops_col: str = "ops",
     return _anti_join_rendered(keyed, rendered_keys_df, broadcast_index).drop("__rk")
 
 
-def singleflight_within(df, key_col: str = "__rk", id_col: str = "clip_id"):
+def singleflight_within(df, key_col: str = "__rk", id_col: str = "clip_id",
+                        ok_col: str | None = None):
     """WITHIN-batch singleflight (imagor.go:842-884): concurrent identical
     requests — rows in the SAME micro-batch whose ops+image resolve to one
     result_key — coalesce to a single render. The min-``id_col`` row wins;
@@ -316,13 +351,29 @@ def singleflight_within(df, key_col: str = "__rk", id_col: str = "clip_id"):
     within the batch — tiny under any realistic duplicate rate — so it
     broadcasts, and the wide side is filtered in place by a
     BroadcastHashJoin. A plain ``dropDuplicates([key])`` would instead
-    hash-shuffle every payload row per batch."""
+    hash-shuffle every payload row per batch.
+
+    ``ok_col``: optional boolean column marking rows that pass the cheap
+    pre-render validation (signature/expiry — ``make_key_validity_udf``).
+    When given, the winner is the min-``id_col`` row AMONG VALID rows,
+    falling back to the overall min only when the whole group is invalid
+    (everything quarantines anyway) — so a tampered/expired duplicate can
+    never suppress a valid same-key request (r5 ADVICE #1; reference
+    validates before singleflight, imagor.go:290-338 vs :842)."""
+    agg = [F.count("*").alias("__n"), F.min(id_col).alias("__w_any")]
+    if ok_col is not None:
+        agg.append(
+            F.min(F.when(F.col(ok_col), F.col(id_col))).alias("__w_ok")
+        )
+        winner = F.coalesce(F.col("__w_ok"), F.col("__w_any"))
+    else:
+        winner = F.col("__w_any")
     dups = (
-        df.select(key_col, id_col)
+        df.select(key_col, id_col, *([ok_col] if ok_col is not None else []))
         .groupBy(key_col)
-        .agg(F.count("*").alias("__n"), F.min(id_col).alias("__winner"))
+        .agg(*agg)
         .filter(F.col("__n") > 1)
-        .select(key_col, "__winner")
+        .select(key_col, winner.alias("__winner"))
     )
     return (
         df.join(F.broadcast(dups), key_col, "left_outer")

@@ -44,21 +44,31 @@ def _proc_start_ticks(pid: int) -> int | None:
 
 
 def claim_workdir(path: str) -> None:
-    """Stamp ``path`` as owned by this process (pid + /proc start ticks)."""
+    """Stamp ``path`` as owned by this process (pid + /proc start ticks).
+
+    A failed stamp write PROPAGATES (r5 ADVICE #4): an unstamped live dir
+    reads as crashed-run debris to ``purge_stale_workdirs`` and would be
+    rmtree'd out from under its owner once 60 s old — and the likeliest
+    write failure (ENOSPC) is exactly the condition this module manages.
+    Failing the claim fast turns a would-be mid-run data loss into an
+    immediate, attributable setup error."""
     me = os.getpid()
     ticks = _proc_start_ticks(me)
-    try:
-        with open(os.path.join(path, "owner.pid"), "w") as f:
-            f.write(f"{me} {ticks if ticks is not None else ''}".strip())
-    except OSError:
-        pass
+    with open(os.path.join(path, "owner.pid"), "w") as f:
+        f.write(f"{me} {ticks if ticks is not None else ''}".strip())
 
 
 def make_workdir(prefix: str, base: str | None = None) -> str:
     """mkdtemp + claim in one call — the only way scratch dirs are made, so
-    no dir ever exists unstamped (the r4 TOCTOU window)."""
+    no dir ever exists unstamped (the r4 TOCTOU window). If the claim
+    cannot be written the dir is removed and the OSError propagates
+    (never hand out a dir a concurrent purge may delete mid-run)."""
     d = tempfile.mkdtemp(prefix=prefix, dir=base)
-    claim_workdir(d)
+    try:
+        claim_workdir(d)
+    except OSError:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
     return d
 
 

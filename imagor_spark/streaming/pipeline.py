@@ -185,6 +185,7 @@ class TransformingSink(IdempotentSink):
         admission_rows: list | None = None,
         admission_schema: str = CONFIG_SCHEMA,
         salt_partitions: int | None = None,
+        validity_args: tuple | None = None,
     ):
         super().__init__(
             out_dir,
@@ -197,6 +198,11 @@ class TransformingSink(IdempotentSink):
         self.admission_rows = admission_rows
         self.admission_schema = admission_schema
         self.salt_partitions = salt_partitions
+        # (secret, alg, truncate, allow_unsafe, now_ms) for the cheap
+        # pre-render signature/expiry check feeding winner selection — a
+        # rejected duplicate must never suppress a valid same-key row
+        # (r5 ADVICE #1; imagor.go validates before singleflight)
+        self.validity_args = validity_args
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -226,7 +232,20 @@ class TransformingSink(IdempotentSink):
         # carry different ops) or a pre-dedup winner dim (a winner clip_id
         # consumed by an earlier batch's state would silently drop its
         # whole key group) — both rejected as semantics changes.
-        keyed = with_result_key(batch_df, out_col="__rk")
+        ok_col = None
+        if self.validity_args is not None:
+            from ..engine.transform import make_key_validity_udf
+
+            kv = make_key_validity_udf(*self.validity_args)
+            keyed = (
+                batch_df.withColumn("__kv", kv(F.col("ops")))
+                .withColumn("__rk", F.col("__kv.rk"))
+                .withColumn("__ok", F.col("__kv.ok"))
+                .drop("__kv")
+            )
+            ok_col = "__ok"
+        else:
+            keyed = with_result_key(batch_df, out_col="__rk")
         if self.result_cache is not None and (
             # cheap driver-side probe: with nothing committed yet (fresh
             # stream, empty cache dir) the anti-join is skipped entirely
@@ -242,7 +261,9 @@ class TransformingSink(IdempotentSink):
                 spark, max_age_ms=self.result_cache_max_age_ms
             )
             keyed = _anti_join_rendered(keyed, rendered)
-        batch_df = singleflight_within(keyed).drop("__rk")
+        batch_df = singleflight_within(keyed, ok_col=ok_col).drop(
+            "__rk", *([ok_col] if ok_col else [])
+        )
         if self.admission_rows is not None:
             from ..engine.config import resolve_with_config
 
@@ -325,6 +346,9 @@ def run_pipeline(
         result_cache_max_age_ms=result_cache_max_age_ms,
         admission_rows=DEFAULT_CONFIG_ROWS if admission else None,
         salt_partitions=salt_partitions,
+        # same signer posture as the transform itself, so the winner
+        # pre-check and the render agree on what rejects
+        validity_args=(secret, "sha1", 0, allow_unsafe, None),
     )
     stream = build_raw_stream(
         spark, input_dir, watermark=watermark, dedup=dedup,

@@ -322,6 +322,42 @@ def test_within_batch_singleflight(spark, dirs):
     assert out.select("result_key").distinct().count() == 7
 
 
+def test_singleflight_rejected_row_cannot_suppress_valid_row(spark, dirs):
+    """r5 ADVICE #1: winner selection runs the cheap signature/expiry check
+    first — a tampered-signature duplicate with the lowest clip_id must NOT
+    win the within-batch singleflight and quarantine away a valid signed
+    request for the same result_key (the reference validates before the
+    suppress, imagor.go:290-338 vs :842). The result_key strips/ignores
+    the signature, so both rows share one key."""
+    import pandas as pd
+
+    from imagor_spark.imagorpath.signer import HMACSigner
+
+    signer = HMACSigner("sha1", 0, SECRET)
+    path = "fit-in/16000x0/sharedsig"
+    good_sig = signer.sign(path)
+    bad_sig = ("X" if good_sig[0] != "X" else "Y") + good_sig[1:]
+    rows = []
+    for cid, sig in (("aaaa0001", bad_sig), ("zzzz0001", good_sig)):
+        r = make_row(42, 3, "unsafe")
+        r["clip_id"] = cid
+        r["ops"] = f"{sig}/{path}"
+        rows.append(r)
+    spark.createDataFrame(pd.DataFrame(rows), schema=CLIPS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(dirs["in"])
+    q, sink = run_pipeline(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], secret=SECRET,
+        allow_unsafe=False, wait=True,
+    )
+    out = sink.read_committed(spark).collect()
+    # the VALID row must be the surviving render; the tampered duplicate is
+    # suppressed (its result is the winner's committed row, not a 4xx)
+    assert len(out) == 1
+    assert out[0]["clip_id"] == "zzzz0001"
+    assert out[0]["status"] == "ok"
+
+
 def test_admission_quarantines_before_decode(spark, dirs):
     """Admission plane wired into run_pipeline (≅ CheckResolution
     processor.go:506-516 + resolution chain imagor.go:699-760): an
